@@ -1,0 +1,71 @@
+"""Probit likelihood node (non-conjugate path).
+
+Equivalent of ReactiveMP's external ``Probit`` node with ``ProbitMeta(32)``
+used by the classification experiments
+(reference: classification_banana.ipynb cell 7, GPT_classification.ipynb).
+
+The reference's Probit node computes EP-style moment-matched messages by
+quadrature; here we use the *closed-form* Gaussian–probit tilted moments
+(Rasmussen & Williams eq. 3.58) — exact, cheaper, and jit-friendly — and
+32-point Gauss–Hermite only for the average energy integral.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..dists import Gaussian
+from ..ops.quadrature import gh_points_weights
+
+__all__ = [
+    "out_probability",
+    "tilted_marginal",
+    "tilted_marginal_batch",
+    "average_energy",
+    "average_energy_batch",
+]
+
+_norm = jax.scipy.stats.norm
+
+
+def out_probability(q_f: Gaussian):
+    """P(y=1) = E_q[Φ(f)] = Φ(m/√(1+v)) — the Probit :out rule used for
+    prediction (reference: classification_banana.ipynb cell 13)."""
+    return _norm.cdf(q_f.mean / jnp.sqrt(1.0 + q_f.var))
+
+
+def _tilted(m, v, y):
+    """Moments of N(f; m, v)·Φ(s·f), s = 2y−1 (y ∈ {0,1})."""
+    s = 2.0 * y - 1.0
+    denom = jnp.sqrt(1.0 + v)
+    z = s * m / denom
+    # stable φ(z)/Φ(z)
+    ratio = jnp.exp(_norm.logpdf(z) - _norm.logcdf(z))
+    m_t = m + s * v * ratio / denom
+    v_t = v - (v * v / (1.0 + v)) * ratio * (z + ratio)
+    v_t = jnp.maximum(v_t, 1e-12)
+    return m_t, v_t
+
+
+def tilted_marginal(q_fwd: Gaussian, y) -> Gaussian:
+    """q(f) ∝ forward(f)·p(y|f): the product the reference's scheduler forms
+    from the UniSGP forward message and the Probit backward message."""
+    m, v = _tilted(q_fwd.mean, q_fwd.var, y)
+    return Gaussian(m, v)
+
+
+def tilted_marginal_batch(means, variances, ys) -> Gaussian:
+    m, v = _tilted(means, variances, ys)
+    return Gaussian(m, v)
+
+
+def average_energy(q_f: Gaussian, y, n_gh: int = 32):
+    """U = −E_q(f)[log Φ(s·f)] by Gauss–Hermite (ProbitMeta(32) equivalent)."""
+    s = 2.0 * y - 1.0
+    pts, w = gh_points_weights(n_gh, q_f.mean, q_f.var)
+    return -jnp.sum(w * _norm.logcdf(s * pts))
+
+
+def average_energy_batch(means, variances, ys, n_gh: int = 32):
+    return jnp.sum(
+        jax.vmap(lambda m, v, y: average_energy(Gaussian(m, v), y, n_gh))(means, variances, ys)
+    )

@@ -1,0 +1,279 @@
+"""Quadrature / cubature / unscented-transform rules (L2 layer).
+
+TPU-native equivalents of ReactiveMP's ``ghcubature(n)`` / ``srcubature()``
+approximation methods and the reference's Generalized Unscented Transform
+(helper_functions/ut_approx.jl).
+
+All rules produce **static-shape** point/weight arrays so that every
+expectation is a fixed-size batched kernel evaluation — one Gram matrix over
+all sigma points (an MXU matmul) instead of the reference's per-point Julia
+closure loop (GPnode/UniSGPnode.jl:11-19).
+
+Conventions:
+- univariate rules take ``(m, v)`` scalars, return ``points (P,)``, ``weights (P,)``
+- multivariate rules take ``(m, V)`` with ``m (d,)``, ``V (d,d)``, return
+  ``points (P, d)``, ``weights (P,)``
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "GaussHermite",
+    "SphericalRadial",
+    "Unscented",
+    "GenUT",
+    "gh_nodes",
+    "gh_points_weights",
+    "sr_points_weights",
+    "ut_points_weights",
+    "genut_points_weights_uni",
+    "genut_points_weights_multi",
+    "points_weights_uni",
+    "points_weights_multi",
+    "expect_uni",
+    "expect_multi",
+    "moment_match_uni",
+    "moment_match_multi",
+]
+
+
+# ---------------------------------------------------------------------------
+# Method marker types (equivalent of ReactiveMP AbstractApproximationMethod)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GaussHermite:
+    """Gauss–Hermite quadrature with ``n`` nodes (ReactiveMP ghcubature(n))."""
+
+    n: int = 21
+
+
+@dataclass(frozen=True)
+class SphericalRadial:
+    """3rd-degree spherical-radial (CKF) cubature: 2d equal-weight points
+    (ReactiveMP srcubature())."""
+
+
+@dataclass(frozen=True)
+class Unscented:
+    """Classic scaled UT (ReactiveMP UT()/Unscented() defaults)."""
+
+    alpha: float = 1e-3
+    beta: float = 2.0
+    kappa: float = 0.0
+
+
+@dataclass(frozen=True)
+class GenUT:
+    """Generalized UT with skewness/kurtosis-matched asymmetric sigma points
+    (reference: helper_functions/ut_approx.jl:116-151).
+
+    Note: we use *raw central moments* (μ3, μ4) as in the GenUT paper; for a
+    Gaussian these are 0 and 3V² (the reference feeds Julia's standardized
+    moments, which only coincides at unit variance)."""
+
+
+# ---------------------------------------------------------------------------
+# Point/weight constructions
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def gh_nodes(n: int):
+    """Hermite-Gauss nodes/weights for E[f(Z)], Z~N(0,1): Σ w_i f(z_i)."""
+    x, w = np.polynomial.hermite.hermgauss(n)
+    z = np.sqrt(2.0) * x
+    wn = w / np.sqrt(np.pi)
+    return jnp.asarray(z), jnp.asarray(wn)
+
+
+def gh_points_weights(n: int, m, v):
+    """Univariate GH rule for N(m, v)."""
+    z, w = gh_nodes(n)
+    m = jnp.asarray(m)
+    pts = m + jnp.sqrt(jnp.asarray(v)) * z.astype(m.dtype)
+    return pts, w.astype(m.dtype)
+
+
+def _cholsqrt(V):
+    return jnp.linalg.cholesky(V)
+
+
+def sr_points_weights(m, V):
+    """3rd-degree spherical-radial cubature for N(m, V): 2d points
+    m ± √d·L eᵢ with equal weights 1/(2d)."""
+    m = jnp.asarray(m)
+    d = m.shape[-1]
+    L = _cholsqrt(V)
+    scaled = jnp.sqrt(jnp.asarray(d, dtype=m.dtype)) * L.T  # rows = √d Lᵀ_i
+    pts = jnp.concatenate([m + scaled, m - scaled], axis=0)
+    w = jnp.full((2 * d,), 1.0 / (2 * d), dtype=m.dtype)
+    return pts, w
+
+
+def ut_points_weights(m, V, alpha: float = 1e-3, beta: float = 2.0, kappa: float = 0.0):
+    """Scaled unscented transform: 2d+1 points; returns (points, w_mean, w_cov)."""
+    m = jnp.asarray(m)
+    d = m.shape[-1]
+    lam = alpha * alpha * (d + kappa) - d
+    L = _cholsqrt(V)
+    scale = jnp.sqrt(jnp.asarray(d + lam, dtype=m.dtype))
+    offs = scale * L.T
+    pts = jnp.concatenate([m[None, :], m + offs, m - offs], axis=0)
+    wm0 = lam / (d + lam)
+    wc0 = wm0 + (1.0 - alpha * alpha + beta)
+    wi = 1.0 / (2.0 * (d + lam))
+    w_mean = jnp.concatenate(
+        [jnp.array([wm0], dtype=m.dtype), jnp.full((2 * d,), wi, dtype=m.dtype)]
+    )
+    w_cov = jnp.concatenate(
+        [jnp.array([wc0], dtype=m.dtype), jnp.full((2 * d,), wi, dtype=m.dtype)]
+    )
+    return pts, w_mean, w_cov
+
+
+def genut_points_weights_uni(m, V, S=None, K=None):
+    """Univariate GenUT 3-point rule matching mean/var/skew/kurt
+    (reference: ut_approx.jl:116-126). ``S``/``K`` are raw central moments
+    μ3, μ4; Gaussian defaults are used when None."""
+    m = jnp.asarray(m)
+    V = jnp.asarray(V)
+    S = jnp.zeros_like(V) if S is None else jnp.asarray(S)
+    K = 3.0 * V * V if K is None else jnp.asarray(K)
+    L = jnp.sqrt(V)
+    invL3 = 1.0 / (L * L * L)
+    u = 0.5 * (-S * invL3 + jnp.sqrt(4.0 * K / (V * V) - 3.0 * (S * invL3) ** 2))
+    v = u + S * invL3
+    aux = 1.0 / (v * (u + v))
+    pts = jnp.stack([m, m - u * L, m + v * L])
+    w = jnp.stack([1.0 - aux * (v / u + 1.0), (v / u) * aux, aux])
+    return pts, w
+
+
+def genut_points_weights_multi(m, V, S=None, K=None):
+    """Multivariate GenUT 2d+1 asymmetric points
+    (reference: ut_approx.jl:129-151). ``S``/``K`` are per-axis raw central
+    moments; Gaussian defaults when None."""
+    m = jnp.asarray(m)
+    d = m.shape[-1]
+    L = _cholsqrt(V)
+    diagL = jnp.diagonal(L)
+    # per-axis standardized skew/kurt in the Cholesky basis
+    S = jnp.zeros((d,), dtype=m.dtype) if S is None else jnp.asarray(S)
+    if K is None:
+        K = 3.0 * diagL**4
+    else:
+        K = jnp.asarray(K)
+    invL3_S = S / diagL**3
+    invL4_K = K / diagL**4
+    disc = 4.0 * invL4_K - 3.0 * invL3_S**2
+    u = 0.5 * (-invL3_S + jnp.sqrt(disc))
+    v = u + invL3_S
+    pts_minus = m[None, :] - L.T * u[:, None]
+    pts_plus = m[None, :] + L.T * v[:, None]
+    pts = jnp.concatenate([m[None, :], pts_minus, pts_plus], axis=0)
+    w_plus = 1.0 / (v * (u + v))
+    w_minus = w_plus * (v / u)
+    w0 = 1.0 - jnp.sum(w_plus) - jnp.sum(w_minus)
+    w = jnp.concatenate([w0[None], w_minus, w_plus])
+    return pts, w
+
+
+# ---------------------------------------------------------------------------
+# Uniform dispatch helpers
+# ---------------------------------------------------------------------------
+
+
+def points_weights_uni(method, m, v):
+    if isinstance(method, GaussHermite):
+        return gh_points_weights(method.n, m, v)
+    if isinstance(method, GenUT):
+        return genut_points_weights_uni(m, v)
+    if isinstance(method, (SphericalRadial, Unscented)):
+        m1 = jnp.reshape(jnp.asarray(m), (1,))
+        V1 = jnp.reshape(jnp.asarray(v), (1, 1))
+        if isinstance(method, SphericalRadial):
+            pts, w = sr_points_weights(m1, V1)
+            return pts[:, 0], w
+        pts, wm, _ = ut_points_weights(m1, V1, method.alpha, method.beta, method.kappa)
+        return pts[:, 0], wm
+    raise TypeError(f"unknown method {method!r}")
+
+
+def points_weights_multi(method, m, V):
+    if isinstance(method, SphericalRadial):
+        return sr_points_weights(m, V)
+    if isinstance(method, Unscented):
+        pts, wm, _ = ut_points_weights(m, V, method.alpha, method.beta, method.kappa)
+        return pts, wm
+    if isinstance(method, GenUT):
+        return genut_points_weights_multi(m, V)
+    raise TypeError(f"unsupported multivariate method {method!r}")
+
+
+def expect_uni(method, f, m, v):
+    """E_q[f(x)] for scalar q = N(m, v); f is vmapped over points
+    (equivalent of approximate_kernel_expectation, UniSGPnode.jl:25-33)."""
+    pts, w = points_weights_uni(method, m, v)
+    vals = jax.vmap(f)(pts)
+    return jnp.tensordot(w, vals, axes=1)
+
+
+def expect_multi(method, f, m, V):
+    """E_q[f(x)] for q = N(m, V) multivariate
+    (equivalent of approximate_kernel_expectation, MultiSGPnode.jl:26-35)."""
+    pts, w = points_weights_multi(method, m, V)
+    vals = jax.vmap(f)(pts)
+    return jnp.tensordot(w, vals, axes=1)
+
+
+# ---------------------------------------------------------------------------
+# Moment-matched products  q(x) ∝ N(x; m, v) · exp(logf(x))
+# ---------------------------------------------------------------------------
+
+
+def moment_match_uni(logf, m, v, n: int = 21, var_floor: float = 0.0):
+    """Moment-match N(m,v)·exp(logf) with n-point GH.
+
+    Equivalent of ReactiveMP ``prod(GenericProd, Normal, ContinuousUnivariateLogPdf)``
+    via ``approximate_meancov(ghcubature(21), exp∘logpdf, left)``
+    (reference: UniSGPnode.jl:39-54). NaN guard falls back to (m, v);
+    ``var_floor`` reproduces the +1e-6 floor of the (Normal, LogPdf) order.
+    """
+    pts, w = gh_points_weights(n, m, v)
+    lf = jax.vmap(logf)(pts)
+    lf = lf - jnp.max(lf)  # stabilized; reference exponentiates raw values
+    f = jnp.exp(lf)
+    Z = jnp.sum(w * f)
+    mt = jnp.sum(w * f * pts) / Z
+    vt = jnp.sum(w * f * (pts - mt) ** 2) / Z + var_floor
+    good = jnp.isfinite(mt) & jnp.isfinite(vt) & (vt > 0)
+    m_out = jnp.where(good, mt, m)
+    v_out = jnp.where(good, vt, v)
+    return m_out, v_out
+
+
+def moment_match_multi(logf, m, V, method=SphericalRadial()):
+    """Moment-match N(m,V)·exp(logf) with spherical-radial cubature.
+
+    Equivalent of ``prod(GenericProd, MvNormal, ContinuousMultivariateLogPdf)``
+    (reference: MultiSGPnode.jl:37-44). NaN guard falls back to (m, V).
+    """
+    pts, w = points_weights_multi(method, m, V)
+    lf = jax.vmap(logf)(pts)
+    lf = lf - jnp.max(lf)
+    f = jnp.exp(lf)
+    Z = jnp.sum(w * f)
+    mt = (w * f) @ pts / Z
+    diff = pts - mt[None, :]
+    Vt = jnp.einsum("p,pi,pj->ij", w * f, diff, diff) / Z
+    good = jnp.all(jnp.isfinite(mt)) & jnp.all(jnp.isfinite(Vt))
+    m_out = jnp.where(good, mt, m)
+    V_out = jnp.where(good, Vt, V)
+    return m_out, V_out

@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Numerical-parity tests run in float64 on CPU; the multi-chip sharding tests
+use the 8 virtual devices (SURVEY.md §2.9 / task environment notes). Real-TPU
+execution is exercised by bench.py and __graft_entry__.py, not by pytest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

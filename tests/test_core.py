@@ -1,0 +1,315 @@
+"""L0–L2 unit tests: linalg, kernels, distributions, quadrature.
+
+Oracle strategy mirrors the reference test file GPtest.jl (SURVEY.md §4):
+analytic/closed-form checks where available, Monte-Carlo oracles for the
+cubature rules.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussianprocessnode_tpu.dists import (
+    GammaShapeRate,
+    Gaussian,
+    MvGaussian,
+    Wishart,
+    WishartFast,
+    gamma_entropy,
+    gamma_mean,
+    gamma_mean_log,
+    gaussian_entropy,
+    mv_gaussian_entropy,
+    mv_meancov_to_nat,
+    mv_nat_to_meancov,
+    wishart_entropy,
+    wishart_mean,
+    wishart_mean_logdet,
+)
+from gaussianprocessnode_tpu.ops import kernels as kern
+from gaussianprocessnode_tpu.ops import linalg as la
+from gaussianprocessnode_tpu.ops import quadrature as quad
+
+rng = np.random.default_rng(0)
+
+
+def random_psd(n, scale=1.0):
+    A = rng.standard_normal((n, n))
+    return jnp.asarray(A @ A.T + n * np.eye(n)) * scale
+
+
+# ---------------------------------------------------------------------------
+# linalg
+# ---------------------------------------------------------------------------
+
+
+class TestLinalg:
+    def test_chol_solve_roundtrip(self):
+        A = random_psd(7)
+        B = jnp.asarray(rng.standard_normal((7, 3)))
+        L = la.chol_lower(A)
+        X = la.chol_solve(L, B)
+        np.testing.assert_allclose(A @ X, B, atol=1e-9)
+
+    def test_cholinv(self):
+        A = random_psd(5)
+        np.testing.assert_allclose(la.cholinv(A) @ A, np.eye(5), atol=1e-9)
+
+    def test_logdet(self):
+        A = random_psd(6)
+        L = la.chol_lower(A)
+        np.testing.assert_allclose(
+            la.logdet_from_chol(L), np.linalg.slogdet(np.asarray(A))[1], rtol=1e-10
+        )
+
+    def test_tri_solves(self):
+        A = random_psd(5)
+        L = la.chol_lower(A)
+        b = jnp.asarray(rng.standard_normal(5))
+        np.testing.assert_allclose(L @ la.tri_solve_lower(L, b), b, atol=1e-10)
+        np.testing.assert_allclose(L.T @ la.tri_solve_upper(L.T, b), b, atol=1e-10)
+
+    def test_rv_chol(self):
+        mu = jnp.asarray(rng.standard_normal(4))
+        S = random_psd(4)
+        U = la.rv_chol_upper(mu, S)
+        np.testing.assert_allclose(U.T @ U, S + np.outer(mu, mu), atol=1e-9)
+
+    def test_block_helpers(self):
+        D, M = 3, 4
+        Rv = random_psd(D * M)
+        S = jnp.asarray(rng.standard_normal((M, M)))
+        W = jnp.asarray(rng.standard_normal((D, D)))
+        # naive block loops
+        blocks = np.asarray(Rv).reshape(D, M, D, M)
+        psi4 = np.array(
+            [[np.sum(blocks[i, :, j, :] * np.asarray(S).T) for j in range(D)] for i in range(D)]
+        )
+        np.testing.assert_allclose(la.block_trace_products(Rv, S.T, D, M), psi4, atol=1e-10)
+        acc = sum(
+            np.asarray(W)[i, j] * blocks[i, :, j, :] for i in range(D) for j in range(D)
+        )
+        np.testing.assert_allclose(la.sum_blocks_weighted(Rv, W, D, M), acc, atol=1e-10)
+
+    def test_sum_diagonal_blocks(self):
+        # reference: sum_diagonal_M(V, M) (derivative_helper.jl:119-122)
+        D, M = 3, 5
+        V = rng.standard_normal((D * M, D))
+        expected = sum(V[M * i : M * (i + 1), i] for i in range(D))
+        np.testing.assert_allclose(la.sum_diagonal_blocks(jnp.asarray(V), M), expected, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+class TestKernels:
+    def test_se_matches_naive(self):
+        X = rng.standard_normal((7, 3))
+        Z = rng.standard_normal((5, 3))
+        var, ls = 1.7, np.array([0.5, 1.2, 2.0])
+        K = kern.se_gram(jnp.asarray(X), jnp.asarray(Z), var, jnp.asarray(ls))
+        naive = np.array(
+            [[var * np.exp(-0.5 * np.sum(((x - z) / ls) ** 2)) for z in Z] for x in X]
+        )
+        np.testing.assert_allclose(K, naive, atol=1e-10)
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_materns_psd_and_diag(self, kind):
+        X = jnp.asarray(rng.standard_normal((20, 2)))
+        K = kern.gram(kind, X, X, 2.0, jnp.asarray([0.7, 1.3]))
+        evals = np.linalg.eigvalsh(np.asarray(K))
+        assert evals.min() > -1e-8
+        np.testing.assert_allclose(np.diag(np.asarray(K)), 2.0, atol=1e-5)
+
+    def test_kernel_softplus_transform(self):
+        k = kern.Kernel("se", transform="softplus")
+        theta = kern.invsoftplus(jnp.asarray([1.5, 0.8]))
+        X = jnp.asarray(rng.standard_normal((4, 1)))
+        K1 = k(theta, X, X)
+        K2 = kern.se_gram(X, X, 1.5, jnp.asarray([0.8]))
+        np.testing.assert_allclose(K1, K2, atol=1e-9)
+
+    def test_invsoftplus_roundtrip(self):
+        x = jnp.asarray([0.1, 1.0, 5.0, 30.0])
+        np.testing.assert_allclose(kern.softplus(kern.invsoftplus(x)), x, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# distributions
+# ---------------------------------------------------------------------------
+
+
+class TestDists:
+    def test_gamma_moments(self):
+        from scipy import special
+
+        q = GammaShapeRate(jnp.asarray(2.5), jnp.asarray(1.7))
+        np.testing.assert_allclose(gamma_mean(q), 2.5 / 1.7)
+        np.testing.assert_allclose(gamma_mean_log(q), special.digamma(2.5) - np.log(1.7))
+
+    def test_gamma_entropy_vs_scipy(self):
+        from scipy import stats
+
+        q = GammaShapeRate(jnp.asarray(3.0), jnp.asarray(0.5))
+        np.testing.assert_allclose(
+            gamma_entropy(q), stats.gamma(3.0, scale=2.0).entropy(), rtol=1e-6
+        )
+
+    def test_gaussian_entropy_vs_scipy(self):
+        from scipy import stats
+
+        np.testing.assert_allclose(
+            gaussian_entropy(Gaussian(jnp.asarray(0.3), jnp.asarray(2.2))),
+            stats.norm(0.3, np.sqrt(2.2)).entropy(),
+            rtol=1e-12,
+        )
+        S = random_psd(4)
+        np.testing.assert_allclose(
+            mv_gaussian_entropy(MvGaussian(jnp.zeros(4), S)),
+            stats.multivariate_normal(np.zeros(4), np.asarray(S)).entropy(),
+            rtol=1e-10,
+        )
+
+    def test_nat_meancov_roundtrip(self):
+        mu = jnp.asarray(rng.standard_normal(6))
+        S = random_psd(6)
+        q = MvGaussian(mu, S)
+        q2 = mv_nat_to_meancov(mv_meancov_to_nat(q))
+        np.testing.assert_allclose(q2.mean, mu, atol=1e-9)
+        np.testing.assert_allclose(q2.cov, S, atol=1e-8)
+
+    def test_wishart_moments_vs_scipy(self):
+        from scipy import stats
+
+        S = np.asarray(random_psd(3, 0.1))
+        df = 7.0
+        q = Wishart(jnp.asarray(df), jnp.asarray(S))
+        np.testing.assert_allclose(wishart_mean(q), df * S, rtol=1e-10)
+        samples = stats.wishart(int(df), S).rvs(50_000, random_state=1)
+        mc_logdet = np.mean(np.linalg.slogdet(samples)[1])
+        np.testing.assert_allclose(wishart_mean_logdet(q), mc_logdet, rtol=5e-3)
+        np.testing.assert_allclose(
+            wishart_entropy(q), stats.wishart(int(df), S).entropy(), rtol=1e-8
+        )
+        qf = WishartFast(jnp.asarray(df), jnp.asarray(np.linalg.inv(S)))
+        np.testing.assert_allclose(wishart_mean(qf), df * S, rtol=1e-8)
+        np.testing.assert_allclose(wishart_mean_logdet(qf), wishart_mean_logdet(q), rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# quadrature (MC oracles, mirroring GPtest.jl:127-143)
+# ---------------------------------------------------------------------------
+
+
+class TestQuadrature:
+    def test_gh_polynomial_exact(self):
+        # GH(21) integrates polynomials up to degree 41 exactly
+        m, v = 0.7, 2.3
+        pts, w = quad.gh_points_weights(21, m, v)
+        np.testing.assert_allclose(jnp.sum(w), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(jnp.sum(w * pts), m, atol=1e-12)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 2), v, rtol=1e-12)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 4), 3 * v**2, rtol=1e-10)
+
+    def test_gh_expectation_vs_mc(self):
+        f = lambda x: jnp.exp(-0.5 * x**2) * jnp.sin(x) + x**2
+        m, v = 0.3, 1.7
+        val = quad.expect_uni(quad.GaussHermite(21), f, m, v)
+        xs = rng.normal(m, np.sqrt(v), 2_000_000)
+        mc = np.mean(np.exp(-0.5 * xs**2) * np.sin(xs) + xs**2)
+        np.testing.assert_allclose(val, mc, atol=5e-3)
+
+    def test_sr_cubature_moments(self):
+        m = jnp.asarray([0.5, -1.0, 2.0])
+        V = random_psd(3, 0.3)
+        pts, w = quad.sr_points_weights(m, V)
+        assert pts.shape == (6, 3)
+        np.testing.assert_allclose(jnp.sum(w), 1.0)
+        np.testing.assert_allclose(pts.T @ w, m, atol=1e-12)
+        diff = pts - m
+        np.testing.assert_allclose(jnp.einsum("p,pi,pj->ij", w, diff, diff), V, atol=1e-10)
+
+    def test_sr_expectation_vs_mc(self):
+        m = jnp.asarray([0.2, -0.4])
+        V = random_psd(2, 0.2)
+        f = lambda x: jnp.exp(-0.1 * jnp.sum(x**2))
+        val = quad.expect_multi(quad.SphericalRadial(), f, m, V)
+        xs = rng.multivariate_normal(np.asarray(m), np.asarray(V), 1_000_000)
+        mc = np.mean(np.exp(-0.1 * np.sum(xs**2, axis=1)))
+        np.testing.assert_allclose(val, mc, atol=5e-3)
+
+    def test_ut_matches_moments(self):
+        m = jnp.asarray([1.0, 2.0])
+        V = random_psd(2, 0.5)
+        pts, wm, wc = quad.ut_points_weights(m, V, alpha=1.0, beta=0.0, kappa=1.0)
+        np.testing.assert_allclose(pts.T @ wm, m, atol=1e-10)
+        diff = pts - m
+        np.testing.assert_allclose(jnp.einsum("p,pi,pj->ij", wc, diff, diff), V, atol=1e-9)
+
+    def test_genut_uni_gaussian_matches_first_four_moments(self):
+        m, v = 0.5, 1.8
+        pts, w = quad.genut_points_weights_uni(m, v)
+        np.testing.assert_allclose(jnp.sum(w), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(jnp.sum(w * pts), m, atol=1e-12)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 2), v, rtol=1e-10)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 3), 0.0, atol=1e-10)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 4), 3 * v * v, rtol=1e-10)
+
+    def test_genut_multi_gaussian_matches_moments(self):
+        m = jnp.asarray([0.3, -0.7, 1.1])
+        V = random_psd(3, 0.4)
+        pts, w = quad.genut_points_weights_multi(m, V)
+        assert pts.shape == (7, 3)
+        np.testing.assert_allclose(jnp.sum(w), 1.0, rtol=1e-10)
+        np.testing.assert_allclose(pts.T @ w, m, atol=1e-10)
+        diff = pts - m
+        np.testing.assert_allclose(jnp.einsum("p,pi,pj->ij", w, diff, diff), V, atol=1e-9)
+
+    def test_genut_skewed_moments(self):
+        # skew/kurt matching with raw central moments of a Gamma(k=3, θ=2)
+        k, th = 3.0, 2.0
+        m = k * th
+        v = k * th**2
+        mu3 = 2 * k * th**3
+        mu4 = 3 * k * (k + 2) * th**4
+        pts, w = quad.genut_points_weights_uni(m, v, S=mu3, K=mu4)
+        np.testing.assert_allclose(jnp.sum(w * pts), m, rtol=1e-10)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 2), v, rtol=1e-10)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 3), mu3, rtol=1e-9)
+        np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 4), mu4, rtol=1e-9)
+
+    def test_moment_match_uni_conjugate(self):
+        # product of two Gaussians has closed form
+        m1, v1, m2, v2 = 0.5, 2.0, -0.3, 0.7
+        logf = lambda x: -0.5 * (x - m2) ** 2 / v2
+        m, v = quad.moment_match_uni(logf, m1, v1)
+        prec = 1 / v1 + 1 / v2
+        np.testing.assert_allclose(m, (m1 / v1 + m2 / v2) / prec, atol=1e-8)
+        np.testing.assert_allclose(v, 1 / prec + 1e-12, atol=1e-6)  # floor arg default 0
+
+    def test_moment_match_uni_nan_fallback(self):
+        logf = lambda x: jnp.where(x > -1e30, jnp.nan, 0.0)
+        m, v = quad.moment_match_uni(logf, 1.5, 2.5)
+        np.testing.assert_allclose(m, 1.5)
+        np.testing.assert_allclose(v, 2.5)
+
+    def test_moment_match_multi_conjugate(self):
+        m1 = jnp.asarray([0.5, -0.5])
+        V1 = random_psd(2, 0.5)
+        m2 = jnp.asarray([1.0, 1.0])
+        V2 = random_psd(2, 0.5)
+        P2 = jnp.linalg.inv(V2)
+        logf = lambda x: -0.5 * (x - m2) @ P2 @ (x - m2)
+        m, V = quad.moment_match_multi(logf, m1, V1)
+        P1 = np.linalg.inv(V1)
+        P = P1 + np.asarray(P2)
+        S = np.linalg.inv(P)
+        mu = S @ (P1 @ np.asarray(m1) + np.asarray(P2) @ np.asarray(m2))
+        # SR cubature is a 3rd-degree rule: product-of-Gaussians is matched
+        # approximately, not exactly (same as the reference's srcubature prod)
+        np.testing.assert_allclose(m, mu, atol=0.05)
+        np.testing.assert_allclose(V, S, atol=0.12)
