@@ -1,0 +1,143 @@
+"""Pendulum GPSSM with Wishart process noise — Pendulum_Wishart_2d.ipynb.
+
+Config (reference cells 4-17): 700 steps (300 train / 400 test), D=2 state,
+M=48 structured inducing points, W ~ Wishart(1e2, I), P = 0.1·I observation
+noise, 150 epochs × [10 VMP sweeps + 100 AdaMax steps on θ via the
+multivariate backward-message objective], then a 30-sweep final smoothing and
+a 1-step-ahead filtering loop on the test window.
+
+Reference results (BASELINE.md): smoothing SMSE state-1 0.005455 / state-2
+0.001077; hyperopt wall-clock 1615 s (CPU Julia).
+"""
+
+import sys
+import time
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaussianprocessnode_tpu.dists import MvGaussianNat, WishartFast, wishart_mean
+from gaussianprocessnode_tpu.infer.chain_smoother import (
+    GPSSMState,
+    gpssm_vmp,
+    one_step_ahead,
+)
+from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
+from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
+from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, cholinv, sum_blocks_weighted, sym
+from gaussianprocessnode_tpu.ops.quadrature import SphericalRadial
+from gaussianprocessnode_tpu.utils.datasets import pendulum, pendulum_inducing
+from gaussianprocessnode_tpu.utils.metrics import smse
+
+
+def run(epochs: int = 150, n_iters: int = 10, adamax_steps: int = 100, verbose: bool = True):
+    x_state, y_obs, Q, P, dt = pendulum()
+    n_train = 300
+    y_train = jnp.asarray(y_obs[:n_train])
+    y_test = jnp.asarray(y_obs[n_train:])
+    x_true_train = x_state[:n_train]
+    x_true_test = x_state[n_train:]
+
+    Xu = jnp.asarray(pendulum_inducing())  # (48, 2)
+    M, D = Xu.shape[0], 2
+    kernel = Kernel("se", transform="softplus")
+    theta0 = invsoftplus(jnp.asarray([1.0, 1.0, 1.0]))
+
+    prior_v = MvGaussianNat(jnp.zeros(M * D), jnp.eye(M * D) / 50.0)
+    prior_x0_mean = jnp.asarray([1.6, 0.0])
+    prior_x0_cov = 0.1 * jnp.eye(2)
+    P_j = jnp.asarray(P)
+    sr = SphericalRadial()
+
+    optimizer = optax.adamax(0.002)
+
+    def vmp(theta, compute_fe=True):
+        return gpssm_vmp(
+            kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
+            prior_v, 100.0, jnp.eye(2), n_iters=n_iters, compute_fe=compute_fe,
+        )
+
+    def hyper_objective(theta, y_means, qx_means, qx_covs, sumRv_W, mu_v, W):
+        return neg_log_backwardmess_multi(
+            theta, kernel=kernel, Xu=Xu, y_means=y_means, qx_means=qx_means,
+            qx_covs=qx_covs, sumRv_W=sumRv_W, mu_v=mu_v, W=W, method=sr,
+        )
+
+    grad_fn = jax.grad(hyper_objective)
+
+    @jax.jit
+    def epoch_fn(carry, _):
+        theta, opt_state = carry
+        state, fe = vmp(theta)
+        # extract stats for the objective (reference cell 16)
+        L = chol_lower(sym(state.prec_v))
+        cov_v = sym(chol_solve(L, jnp.eye(M * D)))
+        mu_v = chol_solve(L, state.xi_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        W_bar = state.W_df * cholinv(sym(state.W_rate))
+        sumRv_W = sum_blocks_weighted(Rv, W_bar, D, M)
+        y_means = state.x_means[1:]
+        qx_means = state.x_means[:-1]
+        qx_covs = state.x_covs[:-1]
+
+        def adamax_step(c, _):
+            th, os_ = c
+            g = grad_fn(th, y_means, qx_means, qx_covs, sumRv_W, mu_v, W_bar)
+            upd, os_ = optimizer.update(g, os_, th)
+            return (optax.apply_updates(th, upd), os_), None
+
+        (theta, opt_state), _ = jax.lax.scan(
+            adamax_step, (theta, opt_state), None, length=adamax_steps
+        )
+        return (theta, opt_state), fe
+
+    t0 = time.time()
+    theta = theta0
+    opt_state = optimizer.init(theta0)
+    fe_trace = []
+    carry = (theta, opt_state)
+    for ep in range(epochs):
+        carry, fe = epoch_fn(carry, None)
+        fe_trace.append(float(fe))
+        if verbose and (ep % 25 == 0 or ep == epochs - 1):
+            print(f"epoch {ep:4d}  FE={fe_trace[-1]:.2f}  θ={np.asarray(softplus(carry[0]))}",
+                  flush=True)
+    theta = carry[0]
+    hyperopt_s = time.time() - t0
+
+    # final 30-sweep smoothing (reference cell 23)
+    state, fe = gpssm_vmp(
+        kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
+        prior_v, 100.0, jnp.eye(2), n_iters=30,
+    )
+    sm1 = float(smse(x_true_train[:, 0], np.asarray(state.x_means[1:, 0])))
+    sm2 = float(smse(x_true_train[:, 1], np.asarray(state.x_means[1:, 1])))
+
+    # 1-step-ahead filtering on test window (reference cell 36)
+    pred_means, pred_covs = one_step_ahead(kernel, theta, Xu, state, y_test, P_j)
+    pr1 = float(smse(x_true_test[:, 0], np.asarray(pred_means[:, 0])))
+    pr2 = float(smse(x_true_test[:, 1], np.asarray(pred_means[:, 1])))
+
+    if verbose:
+        print(f"hyperopt wall: {hyperopt_s:.1f}s (reference: 1615 s)")
+        print(f"smoothing SMSE: state1={sm1:.6f} (ref 0.005455), state2={sm2:.6f} (ref 0.001077)")
+        print(f"1-step-ahead SMSE: state1={pr1:.6f}, state2={pr2:.6f}")
+        print(f"optimal θ (softplus) = {np.asarray(softplus(theta))} (ref [0.5653, 2.2883, 4.7517])")
+    return {
+        "smse_smooth": (sm1, sm2),
+        "smse_predict": (pr1, pr2),
+        "fe_trace": fe_trace,
+        "theta": np.asarray(theta),
+        "hyperopt_seconds": hyperopt_s,
+    }
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run(epochs=int(args[0]) if args else 150)

@@ -1,0 +1,310 @@
+"""GPSSM chain smoother: mean-field VMP over a MultiSGP transition chain.
+
+TPU-native replacement for the reference's reactive chain inference
+(Pendulum_Wishart_2d.ipynb cells 12-16; SURVEY.md §3.3). Model:
+
+    v ~ MvN(0, 50·I_{MD});  W ~ Wishart(ν₀, S₀);  x₀ ~ MvN(m₀, V₀)
+    x_t ~ MultiSGP(x_{t-1}, v, W, θ);  y_t ~ MvN(x_t, P)      t = 1..T
+
+Mean-field q(x₀)∏q(x_t)·q(v)·q(W). One VMP iteration:
+
+  1. all q(x_t) in parallel (Jacobi style — the batched analogue of the
+     reactive sweep): q(x_t) ∝ out-msg(q(x_{t-1})) · obs-msg(y_t) ·
+     exp(in-msg from node t+1), the log-density product moment-matched with
+     spherical-radial cubature (MultiSGPnode.jl:37-44);
+  2. q(v): natural sum of all v-messages (shared W ⇒ Λ = W̄ ⊗ ΣΨ2_t);
+  3. q(W): Wishart update df = ν₀ + T, rate = S₀⁻¹ + Σ_t (I1_t + I2_t).
+
+All per-t work is batched: ONE Gram over all T·(2D) sigma points per sweep.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import JITTER_KUU_SSM
+from ..dists import (
+    MvGaussian,
+    MvGaussianNat,
+    WishartFast,
+    mv_gaussian_entropy,
+    wishart_entropy,
+    wishart_mean,
+    wishart_mean_logdet,
+)
+from ..nodes.multisgp import MultiSGPArgs, _split_blocks
+from ..ops import psi as psiops
+from ..ops import quadrature as quad
+from ..ops.linalg import (
+    chol_lower,
+    chol_solve,
+    cholinv,
+    logdet_from_chol,
+    sum_blocks_weighted,
+    sym,
+)
+from .batch_vmp import prior_energy_mvn
+
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+class GPSSMState(NamedTuple):
+    x_means: jax.Array  # (T+1, D), index 0 = x_prev
+    x_covs: jax.Array  # (T+1, D, D)
+    xi_v: jax.Array  # (M·D,)
+    prec_v: jax.Array  # (M·D, M·D)
+    W_df: jax.Array
+    W_rate: jax.Array  # (D, D) rate matrix (inverse scale)
+
+
+def _qv_stats(xi, prec):
+    L = chol_lower(sym(prec))
+    eye = jnp.eye(prec.shape[0], dtype=prec.dtype)
+    cov = sym(chol_solve(L, eye))
+    mu = chol_solve(L, xi)
+    return mu, cov
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
+def gpssm_vmp(
+    kernel,
+    theta,
+    Xu,
+    ys,  # (T, D) observations
+    P,  # (D, D) observation covariance
+    prior_x0_mean,
+    prior_x0_cov,
+    prior_v: MvGaussianNat,
+    prior_W_df,
+    prior_W_scale,  # Wishart scale matrix S₀ (reference: Wishart(1e2, I))
+    init_x_cov_scale: float = 50.0,
+    n_iters: int = 10,
+    compute_fe: bool = True,
+):
+    """Run n_iters mean-field VMP sweeps; returns (GPSSMState, free_energy)."""
+    T, D = ys.shape
+    M = Xu.shape[0]
+    dt = ys.dtype
+    sr = quad.SphericalRadial()
+
+    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    args = MultiSGPArgs(theta, Xu, Kuu_inv)
+
+    P_inv = cholinv(sym(P))
+    obs_xi = ys @ P_inv.T  # (T, D)
+    S0_inv = cholinv(sym(prior_W_scale))
+
+    prior_x0_prec = cholinv(sym(prior_x0_cov))
+    prior_x0_xi = prior_x0_prec @ prior_x0_mean
+
+    # init (reference gp_initialization: q(x)=MvN(0, 50I), q(W)=Wishart(1e2,I),
+    # q(v) = its prior)
+    x_means0 = jnp.concatenate([prior_x0_mean[None, :], jnp.zeros((T, D), dt)], 0)
+    x_covs0 = jnp.concatenate(
+        [prior_x0_cov[None, :, :], jnp.tile(init_x_cov_scale * jnp.eye(D, dtype=dt), (T, 1, 1))], 0
+    )
+    mu_v0, cov_v0 = _qv_stats(prior_v.xi, prior_v.prec)
+
+    def sweep(state: GPSSMState, _):
+        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        W_mean = state.W_df * cholinv(sym(state.W_rate))
+        tr_W = jnp.trace(W_mean)
+        sumRv_W = sum_blocks_weighted(Rv, W_mean, D, M)
+        A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W  # in-msg Ψ2 contraction
+        mu_blocks = _split_blocks(mu_v, M, D)  # (D, M)
+
+        # ---- 1. update q(x_t) for all t (Jacobi) -------------------------
+        in_means = state.x_means[:-1]  # (T, D): inputs of nodes 1..T
+        in_covs = state.x_covs[:-1]
+        psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
+            kernel, theta, Xu, sr, in_means, in_covs
+        )
+        out_means = (mu_blocks @ psi1_in).T  # (T, D): Ψ1_tᵀ μ_v^(d)
+
+        # Gaussian part of each q(x_t): out-msg N(out_means[t], W̄⁻¹) × obs
+        prec_g = W_mean + P_inv  # shared across t
+        xi_g = out_means @ W_mean.T + obs_xi  # (T, D)
+        Lg = chol_lower(sym(prec_g))
+        cov_g = sym(chol_solve(Lg, jnp.eye(D, dtype=dt)))
+        mean_g = xi_g @ cov_g.T  # since cov_g symmetric: (prec⁻¹ xi)
+
+        # in-message from node t+1 to x_t exists for t = 0..T-1 (x_prev..x_{T-1});
+        # its μ_y is mean of q(x_{t+1}).
+        succ_means = state.x_means[1:]  # (T, D)
+        sumdiagV = succ_means @ W_mean.T @ mu_blocks  # (T, M)
+
+        def refine(mean_f, cov_f, sdV):
+            def logpdf(x):
+                k = psiops.psi1_exact(kernel, theta, Xu, x)
+                psi0 = kernel.kxx(theta, x)
+                return -0.5 * tr_W * psi0 + k @ A_in @ k + sdV @ k
+
+            m, V = quad.moment_match_multi(logpdf, mean_f, cov_f, method=sr)
+            return m, V
+
+        # x_prev (index 0): prior × in-msg from node 1
+        m0, V0 = refine(
+            chol_solve(chol_lower(sym(prior_x0_prec)), prior_x0_xi),
+            cholinv(sym(prior_x0_prec)),
+            sumdiagV[0],
+        )
+        # x_1..x_{T-1}: Gaussian part × in-msg from successor node
+        m_mid, V_mid = jax.vmap(refine)(mean_g[:-1], jnp.tile(cov_g, (T - 1, 1, 1)), sumdiagV[1:])
+        # x_T: Gaussian part only
+        new_means = jnp.concatenate([m0[None], m_mid, mean_g[-1:]], 0)
+        new_covs = jnp.concatenate([V0[None], V_mid, cov_g[None]], 0)
+
+        # ---- 2. q(v) ------------------------------------------------------
+        psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
+            kernel, theta, Xu, sr, new_means[:-1], new_covs[:-1]
+        )
+        sum_psi2 = psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T,), dt))
+        yW = new_means[1:] @ W_mean.T  # (T, D)
+        xi_v = prior_v.xi + jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1)
+        prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
+        mu_v, cov_v = _qv_stats(xi_v, prec_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        mu_blocks = _split_blocks(mu_v, M, D)
+
+        # ---- 3. q(W) ------------------------------------------------------
+        # Σ_t I1_t: trace terms per t
+        KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
+        tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
+        I1_sum = jnp.sum(psi0_in - tr_t) * jnp.eye(D, dtype=dt)
+        # Σ_t I2_t
+        E_t = (mu_blocks @ psi1_in).T  # (T, D)
+        mu_out = new_means[1:]
+        Ry_sum = jnp.einsum("td,te->de", mu_out, mu_out) + jnp.sum(new_covs[1:], 0)
+        cross = jnp.einsum("td,te->de", mu_out, E_t)
+        Rv4 = Rv.reshape(D, M, D, M)
+        psi4_sum = jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq)
+        I2_sum = Ry_sum - cross - cross.T + psi4_sum
+        W_df = prior_W_df + T
+        W_rate = sym(S0_inv + I1_sum + I2_sum)
+
+        new_state = GPSSMState(new_means, new_covs, xi_v, prec_v, W_df, W_rate)
+        return new_state, None
+
+    state0 = GPSSMState(
+        x_means0, x_covs0, prior_v.xi, prior_v.prec,
+        jnp.asarray(prior_W_df, dt), S0_inv,
+    )
+    state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
+
+    fe = jnp.asarray(0.0, dt)
+    if compute_fe:
+        fe = gpssm_free_energy(
+            kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov, prior_v,
+            prior_W_df, prior_W_scale, state,
+        )
+    return state, fe
+
+
+def gpssm_free_energy(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
+                      prior_v: MvGaussianNat, prior_W_df, prior_W_scale,
+                      state: GPSSMState):
+    """Bethe free energy of the chain under the mean-field q."""
+    from ..nodes.multisgp import average_energy
+
+    T, D = ys.shape
+    M = Xu.shape[0]
+    dt = ys.dtype
+    sr = quad.SphericalRadial()
+    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    args = MultiSGPArgs(theta, Xu, Kuu_inv)
+
+    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+    qW = WishartFast(state.W_df, state.W_rate)
+    W_mean = wishart_mean(qW)
+    E_logdet_W = wishart_mean_logdet(qW)
+
+    # Σ_t MultiSGP node energies
+    def node_energy(m_out, V_out, m_in, V_in):
+        return average_energy(
+            kernel, sr, args, m_out, V_out, MvGaussian(m_in, V_in),
+            mu_v, cov_v, W_mean, E_logdet_W,
+        )
+
+    U_nodes = jnp.sum(
+        jax.vmap(node_energy)(
+            state.x_means[1:], state.x_covs[1:], state.x_means[:-1], state.x_covs[:-1]
+        )
+    )
+
+    # Σ_t observation energies: −E[log N(y_t; x_t, P)]
+    Lp = chol_lower(sym(P))
+    P_inv = cholinv(sym(P))
+    d = ys - state.x_means[1:]
+    U_obs = 0.5 * (
+        T * (D * _LOG2PI + logdet_from_chol(Lp))
+        + jnp.einsum("td,de,te->", d, P_inv, d)
+        + jnp.einsum("de,ted->", P_inv, state.x_covs[1:])
+    )
+
+    # priors
+    U_x0 = prior_energy_mvn(state.x_means[0], state.x_covs[0], prior_x0_mean, prior_x0_cov)
+    mu_p, cov_p = _qv_stats(prior_v.xi, prior_v.prec)
+    U_v = prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
+    # −E_q[log Wishart(W; ν₀, S₀)]
+    S0_inv = cholinv(sym(prior_W_scale))
+    ld_S0 = logdet_from_chol(chol_lower(sym(prior_W_scale)))
+    nu0 = jnp.asarray(prior_W_df, dt)
+    from ..dists import _mv_gammaln
+
+    U_W = -(
+        (nu0 - D - 1.0) / 2.0 * E_logdet_W
+        - 0.5 * jnp.sum(S0_inv * W_mean.T)
+        - nu0 * D / 2.0 * jnp.log(2.0)
+        - nu0 / 2.0 * ld_S0
+        - _mv_gammaln(nu0 / 2.0, D)
+    )
+
+    # entropies
+    H_x = jnp.sum(
+        jax.vmap(lambda m, V: mv_gaussian_entropy(MvGaussian(m, V)))(state.x_means, state.x_covs)
+    )
+    H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+    H_W = wishart_entropy(qW)
+
+    return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
+
+
+# ---------------------------------------------------------------------------
+# 1-step-ahead filtering on test data (Pendulum cells 3, 36)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def one_step_ahead(kernel, theta, Xu, state: GPSSMState, ys_test, P):
+    """Sequential predict/update loop:
+    PredictState = MultiSGP :out rule from the previous marginal;
+    UpdateState  = product with the MvN observation message."""
+    T_test, D = ys_test.shape
+    M = Xu.shape[0]
+    dt = ys_test.dtype
+    sr = quad.SphericalRadial()
+    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+    mu_blocks = _split_blocks(mu_v, M, D)
+    qW = WishartFast(state.W_df, state.W_rate)
+    W_mean = wishart_mean(qW)
+    W_mean_inv = cholinv(sym(W_mean))
+    P_inv = cholinv(sym(P))
+
+    def step(carry, y):
+        m_prev, V_prev = carry
+        _, psi1, _ = psiops.psi_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
+        pred_mean = mu_blocks @ psi1
+        pred_cov = W_mean_inv
+        # update: product with N(y, P)
+        prec = cholinv(sym(pred_cov)) + P_inv
+        cov = cholinv(sym(prec))
+        mean = cov @ (cholinv(sym(pred_cov)) @ pred_mean + P_inv @ y)
+        return (mean, cov), (pred_mean, pred_cov)
+
+    (_, _), (pred_means, pred_covs) = jax.lax.scan(
+        step, (state.x_means[-1], state.x_covs[-1]), ys_test
+    )
+    return pred_means, pred_covs

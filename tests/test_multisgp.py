@@ -1,0 +1,256 @@
+"""MultiSGP rule tests — transliteration of GPtest.jl:352-539.
+
+Fixtures: 5×5 2-D inducing grid (Nu=25), SE kernel θ=[1,1], srcubature,
+q_v over R^{2·25}, q_w Wishart(10, 50·I).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussianprocessnode_tpu.dists import (
+    MvGaussian,
+    Wishart,
+    wishart_mean,
+    wishart_mean_logdet,
+)
+from gaussianprocessnode_tpu.nodes import multisgp
+from gaussianprocessnode_tpu.nodes.multisgp import MultiSGPArgs
+from gaussianprocessnode_tpu.ops import psi as psiops
+from gaussianprocessnode_tpu.ops import quadrature as quad
+from gaussianprocessnode_tpu.ops.kernels import Kernel
+from gaussianprocessnode_tpu.ops.linalg import cholinv
+
+rng = np.random.default_rng(42)
+
+KER = Kernel("se", transform="identity")
+THETA = jnp.asarray([1.0, 1.0])
+M = 25
+D = 2
+# GPtest.jl:20 — Julia comprehension [[i,j] for i=1:5, j=1:5] is column-major:
+# entry (i,j) varies i fastest
+XU = jnp.asarray([[i, j] for j in range(1, 6) for i in range(1, 6)], dtype=jnp.float64)
+SR = quad.SphericalRadial()
+
+Q_OUT = MvGaussian(jnp.asarray([0.5, 1.4]), jnp.eye(2))
+Q_IN = MvGaussian(jnp.asarray([1.0, 2.7]), jnp.eye(2))
+MU_V = jnp.sin(jnp.asarray(rng.random(D * M)))
+SIGMA_V = jnp.eye(D * M)
+RV = jnp.outer(MU_V, MU_V) + SIGMA_V
+Q_W = Wishart(jnp.asarray(10.0), 50.0 * jnp.eye(2))
+W_MEAN = wishart_mean(Q_W)
+
+KUU_INV = cholinv(KER.kuu(THETA, XU), jitter=1e-12)
+ARGS = MultiSGPArgs(theta=THETA, Xu=XU, Kuu_inv=KUU_INV)
+
+PSI0_A, PSI1_A, PSI2_A = psiops.psi_expected_multi(
+    KER, THETA, XU, SR, Q_IN.mean, Q_IN.cov
+)
+
+
+def k_naive(A, B, theta=(1.0, 1.0)):
+    A = np.atleast_2d(A)
+    B = np.atleast_2d(B)
+    d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+    return theta[0] * np.exp(-0.5 * d2 / theta[1] ** 2)
+
+
+class TestPsiMulti:
+    def test_vs_mc(self):
+        # GPtest.jl:366-382
+        r = np.random.default_rng(5)
+        xs = r.multivariate_normal(np.asarray(Q_IN.mean), np.asarray(Q_IN.cov), 200_000)
+        Kxu = k_naive(xs, np.asarray(XU))  # (n, M)
+        np.testing.assert_allclose(PSI0_A, 1.0, atol=1e-12)  # stationary
+        np.testing.assert_allclose(PSI1_A, Kxu.mean(axis=0), atol=0.08)
+        psi2_mc = np.einsum("ni,nj->ij", Kxu, Kxu) / len(xs)
+        np.testing.assert_allclose(PSI2_A, psi2_mc, atol=0.3)
+
+
+class TestOutRule:
+    def test_out(self):
+        # GPtest.jl:385-403: mean = kron(C,Ψ1)ᵀ?… mean_d = Ψ1ᵀ μ_v^(d); cov = W̄⁻¹
+        nu = multisgp.out_message(KER, SR, ARGS, Q_IN, MU_V, W_MEAN)
+        gt_mean = np.kron(np.eye(2), np.asarray(PSI1_A)[None, :]) @ np.asarray(MU_V)
+        np.testing.assert_allclose(nu.mean, gt_mean, atol=1e-10)
+        np.testing.assert_allclose(nu.cov, np.linalg.inv(np.asarray(W_MEAN)), atol=1e-12)
+
+
+class TestInRule:
+    def test_logpdf(self):
+        # GPtest.jl:407-413: gt = -½tr(W·kron(C,A(x))) + μ_yᵀW kron(C,B(x)) μ_v
+        #                         − ½tr(Rv·kron(C,B)ᵀ W kron(C,B))
+        logpdf = multisgp.in_log_message(KER, ARGS, Q_OUT.mean, MU_V, RV, W_MEAN)
+        Kuu_inv_exact = np.linalg.inv(k_naive(np.asarray(XU), np.asarray(XU)))
+        W = np.asarray(W_MEAN)
+        C = np.eye(2)
+        for x in [[1.0, 1.5], [-1.5, 2.0]]:
+            x = np.asarray(x)
+            B = k_naive(x, np.asarray(XU))  # (1, M)
+            A = 1.0 - B @ np.linalg.inv(np.asarray(KER.kuu(THETA, XU, jitter=1e-12))) @ B.T
+            kB = np.kron(C, B)
+            gt = (
+                -0.5 * np.trace(W * A[0, 0] @ np.eye(2) if False else W @ np.kron(C, A))
+                + np.asarray(Q_OUT.mean) @ W @ kB @ np.asarray(MU_V)
+                - 0.5 * np.trace(np.asarray(RV) @ kB.T @ W @ kB)
+            )
+            np.testing.assert_allclose(float(logpdf(jnp.asarray(x))), gt, rtol=1e-8)
+
+    def test_laplace(self):
+        # GPtest.jl:415-428: LBFGS + hessian oracle
+        mu_y = jnp.asarray([1.5, 2.0])
+        nu = multisgp.in_message_laplace(
+            KER, ARGS, mu_y, MU_V, RV, W_MEAN, Q_IN.mean, lbfgs_steps=40
+        )
+        # oracle: optimize the same objective with scipy from the same start
+        from scipy.optimize import minimize
+
+        logpdf = multisgp.in_log_message(KER, ARGS, mu_y, MU_V, RV, W_MEAN)
+        neg = lambda x: -float(logpdf(jnp.asarray(x)))
+        res = minimize(neg, np.asarray(Q_IN.mean), method="L-BFGS-B")
+        m_z = res.x
+        W_z = np.asarray(jax.hessian(lambda x: -logpdf(x))(jnp.asarray(m_z)))
+        np.testing.assert_allclose(
+            np.linalg.solve(np.asarray(nu.prec), np.asarray(nu.xi)), m_z, atol=0.01
+        )
+        np.testing.assert_allclose(np.asarray(nu.prec), W_z, atol=0.01)
+
+
+class TestVRule:
+    def test_v(self):
+        # GPtest.jl:433-442: mean = (W̄⊗Ψ2)⁻¹ (C⊗Ψ1)ᵀ W̄ μ_y, cov = (W̄⊗Ψ2)⁻¹
+        nu = multisgp.v_message(KER, SR, ARGS, Q_OUT.mean, Q_IN, W_MEAN)
+        psi3 = np.kron(np.asarray(W_MEAN), np.asarray(PSI2_A))
+        psi1_tilde = np.kron(np.eye(2), np.asarray(PSI1_A)[None, :])
+        gt_mean = np.linalg.solve(psi3, psi1_tilde.T @ np.asarray(W_MEAN) @ np.asarray(Q_OUT.mean))
+        np.testing.assert_allclose(np.asarray(nu.prec), psi3, atol=1e-10)
+        np.testing.assert_allclose(
+            np.linalg.solve(np.asarray(nu.prec), np.asarray(nu.xi)), gt_mean, atol=1e-8
+        )
+
+    def test_v_batch_matches_sum(self):
+        means = jnp.asarray(rng.standard_normal((4, 2)))
+        covs = jnp.tile(0.3 * jnp.eye(2), (4, 1, 1))
+        ys = jnp.asarray(rng.standard_normal((4, 2)))
+        psi0b, psi1b, Kp, w = psiops.psi_batch_expected_multi(KER, THETA, XU, SR, means, covs)
+        sum_psi2 = psiops.sum_weighted_psi2(Kp, w, jnp.ones(4))
+        sum_yW = ys @ W_MEAN.T
+        batch = multisgp.v_message_batch(psi1b, sum_psi2, sum_yW, W_MEAN)
+        xi = np.zeros(D * M)
+        prec = np.zeros((D * M, D * M))
+        for t in range(4):
+            nu = multisgp.v_message(KER, SR, ARGS, ys[t], MvGaussian(means[t], covs[t]), W_MEAN)
+            xi += np.asarray(nu.xi)
+            prec += np.asarray(nu.prec)
+        np.testing.assert_allclose(np.asarray(batch.xi), xi, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(batch.prec), prec, atol=1e-9)
+
+
+class TestWRule:
+    def test_w(self):
+        # GPtest.jl:459-471
+        nu = multisgp.w_message(
+            KER, SR, ARGS, Q_OUT.mean, Q_OUT.cov, Q_IN, MU_V, SIGMA_V
+        )
+        psi1_tilde = np.kron(np.eye(2), np.asarray(PSI1_A)[None, :])
+        # Ψ4 oracle via cubature of kron(C,kxu) Rv kron(C,kux) — here directly:
+        pts, w = quad.sr_points_weights(Q_IN.mean, Q_IN.cov)
+        psi4 = np.zeros((2, 2))
+        for p, wp in zip(np.asarray(pts), np.asarray(w)):
+            B = k_naive(p, np.asarray(XU))
+            kB = np.kron(np.eye(2), B)
+            psi4 += wp * (kB @ np.asarray(RV) @ kB.T)
+        I1 = np.eye(2) * (float(PSI0_A) - np.trace(np.asarray(KUU_INV) @ np.asarray(PSI2_A)))
+        mu_y = np.asarray(Q_OUT.mean)
+        E = psi1_tilde @ np.asarray(MU_V)
+        I2 = (
+            np.outer(mu_y, mu_y)
+            + np.asarray(Q_OUT.cov)
+            - np.outer(mu_y, E)
+            - np.outer(E, mu_y)
+            + psi4
+        )
+        assert float(nu.df) == 4.0
+        np.testing.assert_allclose(np.asarray(nu.inv_scale), I1 + I2, atol=1e-5)
+
+
+class TestThetaRule:
+    def test_theta_logpdf(self):
+        # GPtest.jl:476-488
+        logpdf = multisgp.theta_log_message(
+            KER, SR, XU, Q_IN, Q_OUT.mean, MU_V, RV, W_MEAN
+        )
+        for th in [[1.2, 2.3], [0.5, 1.4]]:
+            thj = jnp.asarray(th)
+            p0, p1, p2 = psiops.psi_expected_multi(KER, thj, XU, SR, Q_IN.mean, Q_IN.cov)
+            p2 = np.asarray(p2) + 1e-7 * np.eye(M)
+            Kinv = np.asarray(cholinv(KER.kuu(thj, XU)))
+            I1 = np.kron(np.eye(2), float(p0) - np.trace(Kinv @ p2))
+            psi1_tilde = np.kron(np.eye(2), np.asarray(p1)[None, :])
+            psi3 = np.kron(np.asarray(W_MEAN), p2)
+            gt = (
+                -0.5 * np.trace(np.asarray(W_MEAN) @ I1)
+                + np.asarray(Q_OUT.mean) @ np.asarray(W_MEAN) @ psi1_tilde @ np.asarray(MU_V)
+                - 0.5 * np.trace(psi3 @ np.asarray(RV))
+            )
+            np.testing.assert_allclose(float(logpdf(thj)), gt, rtol=1e-7)
+
+
+class TestAverageEnergy:
+    def test_energy_wishart(self):
+        # GPtest.jl:510-521
+        E_logdet = float(wishart_mean_logdet(Q_W))
+        U = multisgp.average_energy(
+            KER, SR, ARGS, Q_OUT.mean, Q_OUT.cov, Q_IN, MU_V, SIGMA_V, W_MEAN, E_logdet
+        )
+        pts, w = quad.sr_points_weights(Q_IN.mean, Q_IN.cov)
+        psi4 = np.zeros((2, 2))
+        for p, wp in zip(np.asarray(pts), np.asarray(w)):
+            B = k_naive(p, np.asarray(XU))
+            kB = np.kron(np.eye(2), B)
+            psi4 += wp * (kB @ np.asarray(RV) @ kB.T)
+        I1 = np.kron(
+            np.eye(2), float(PSI0_A) - np.trace(np.asarray(KUU_INV) @ np.asarray(PSI2_A))
+        )
+        mu_y = np.asarray(Q_OUT.mean)
+        psi1_tilde = np.kron(np.eye(2), np.asarray(PSI1_A)[None, :])
+        E = psi1_tilde @ np.asarray(MU_V)
+        I2 = (
+            np.outer(mu_y, mu_y) + np.asarray(Q_OUT.cov)
+            - np.outer(mu_y, E) - np.outer(E, mu_y) + psi4
+        )
+        U_gt = (
+            0.5 * np.trace(np.asarray(W_MEAN) @ (I1 + I2))
+            + np.log(2 * np.pi)
+            - 0.5 * E_logdet
+        )
+        np.testing.assert_allclose(float(U), U_gt, atol=1e-2)
+
+    def test_energy_pointmass(self):
+        # GPtest.jl:523-537: q_out = PM([1.5,2]), q_w = PM(W̄)
+        mu_y = jnp.asarray([1.5, 2.0])
+        logdetW = float(jnp.linalg.slogdet(W_MEAN)[1])
+        U = multisgp.average_energy(
+            KER, SR, ARGS, mu_y, jnp.zeros((2, 2)), Q_IN, MU_V, SIGMA_V, W_MEAN, logdetW
+        )
+        pts, w = quad.sr_points_weights(Q_IN.mean, Q_IN.cov)
+        psi4 = np.zeros((2, 2))
+        for p, wp in zip(np.asarray(pts), np.asarray(w)):
+            B = k_naive(p, np.asarray(XU))
+            kB = np.kron(np.eye(2), B)
+            psi4 += wp * (kB @ np.asarray(RV) @ kB.T)
+        I1 = np.kron(
+            np.eye(2), float(PSI0_A) - np.trace(np.asarray(KUU_INV) @ np.asarray(PSI2_A))
+        )
+        muy = np.asarray(mu_y)
+        psi1_tilde = np.kron(np.eye(2), np.asarray(PSI1_A)[None, :])
+        E = psi1_tilde @ np.asarray(MU_V)
+        I2 = np.outer(muy, muy) - np.outer(muy, E) - np.outer(E, muy) + psi4
+        U_gt = (
+            0.5 * np.trace(np.asarray(W_MEAN) @ (I1 + I2))
+            + np.log(2 * np.pi)
+            - 0.5 * logdetW
+        )
+        np.testing.assert_allclose(float(U), U_gt, atol=1e-2)
