@@ -1,0 +1,77 @@
+"""Banana 2-D binary classification — classification_banana.ipynb.
+
+Config (reference cells 3-10): 4000 train / 1300 test, M=500 random
+inducing, minibatch 200 (20 batches), ARD-SE kernel (3 θ params, softplus),
+probit likelihood, q(w) Gamma carried across batches, 500 epochs of
+[1 VMP sweep + AdaMax on pseudo-targets].
+
+Reference results: 125 errors / 9.615%; 2965.76 s Julia wall (BASELINE.md).
+"""
+
+import sys
+import time
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprocessnode_tpu.dists import GammaShapeRate, MvGaussianNat, gamma_mean
+from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
+from gaussianprocessnode_tpu.infer.minibatch import fit_banana
+from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
+from gaussianprocessnode_tpu.utils.datasets import banana
+from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
+
+
+def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
+        seed: int = 1, verbose: bool = True):
+    data = banana()
+    dtype = jnp.float32 if "--f32" in sys.argv else jnp.float64
+    Xtr = jnp.asarray(data.x_train, dtype)
+    ytr = jnp.asarray(data.y_train, dtype)
+    Xte = jnp.asarray(data.x_test, dtype)
+    yte = data.y_test
+
+    n_train = Xtr.shape[0]
+    rng = np.random.default_rng(seed)
+    pos = rng.permutation(n_train)[:m_inducing]
+    Xu = jnp.asarray(data.x_train[pos], dtype)
+    M = m_inducing
+
+    B = n_train // batch_size
+    Xb = Xtr[: B * batch_size].reshape(B, batch_size, -1)
+    yb = ytr[: B * batch_size].reshape(B, batch_size)
+
+    kernel = Kernel("se", transform="softplus")
+    theta0 = invsoftplus(jnp.ones((3,), dtype))
+    prior_v = MvGaussianNat(jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype) / 50.0)
+    prior_w = GammaShapeRate(jnp.asarray(1e-2, dtype), jnp.asarray(1e-2, dtype))
+
+    t0 = time.time()
+    theta, qv_nat, qw = fit_banana(kernel, theta0, Xu, Xb, yb, prior_v, prior_w, epochs)
+    jax.block_until_ready(theta)
+    train_s = time.time() - t0
+
+    from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, sym
+
+    L = chol_lower(sym(qv_nat.prec))
+    mu_v = chol_solve(L, qv_nat.xi)
+    probs = predict_probit(kernel, theta, Xu, Xte, mu_v, gamma_mean(qw))
+    pred = (np.asarray(probs) >= 0.5).astype(float)
+    errs = float(num_error(yte, pred))
+    rate = float(error_rate(yte, pred))
+    if verbose:
+        print(f"errors = {errs:.0f} / rate = {rate:.4f}  (reference: 125 / 9.615%)")
+        print(f"train wall: {train_s:.2f}s for {epochs} epochs (reference: 2965.76 s)")
+        print(f"θ (softplus) = {np.asarray(softplus(theta))}  w̄ = {float(gamma_mean(qw)):.4f}")
+    return {"errors": errs, "error_rate": rate, "seconds": train_s,
+            "theta": np.asarray(theta)}
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run(epochs=int(args[0]) if args else 500)

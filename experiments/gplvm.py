@@ -1,0 +1,82 @@
+"""GPLVM on the 3PhData oil-flow dataset — the reference's GPLVM.ipynb.
+
+Config (reference cells 4-17): N=200, D_out=12, D_in=2, M=30 inducing from
+the PCA projection (seed 86), W = 1e2·I PointMass, srcubature, 6 VMP
+iterations per free-energy evaluation, 25 Nelder–Mead iterations over
+θ = [σ², ℓ₁, ℓ₂] (softplus), then a final 30-iteration inference for q(x).
+
+Reference outcome: 2-D latents separate the 3 flow regimes (plot);
+hyperopt ≈ 15 min Julia. Here we report FE and a 1-NN latent-space
+classification accuracy as the quantitative proxy.
+"""
+
+import sys
+import time
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprocessnode_tpu.infer.gplvm import gplvm_vmp
+from gaussianprocessnode_tpu.ops.kernels import Kernel, softplus
+from gaussianprocessnode_tpu.utils.datasets import oil_flow
+from gaussianprocessnode_tpu.utils.optim import nelder_mead
+
+
+def pca_2d(Y):
+    Yc = Y - Y.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Yc, full_matrices=False)
+    return Yc @ Vt[:2].T
+
+
+def knn_accuracy(Z, labels, k=1):
+    d = ((Z[:, None, :] - Z[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nn = d.argmin(axis=1)
+    return float((labels[nn] == labels).mean())
+
+
+def run(nm_iters: int = 25, n_iters: int = 6, verbose: bool = True):
+    Y_np, labels = oil_flow()
+    Y = jnp.asarray(Y_np)
+    mean_X = pca_2d(Y_np)
+    Xm = jnp.asarray(mean_X)
+
+    rng = np.random.default_rng(86)
+    M = 30
+    pos = rng.permutation(len(Y_np))[:M]
+    Xu = jnp.asarray(mean_X[pos])
+
+    kernel = Kernel("se", transform="softplus")
+    theta0 = jnp.asarray([1.0, 0.6, 0.5])  # reference cell 17 (raw, pre-softplus)
+
+    def fe_obj(theta):
+        _, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=n_iters)
+        return fe
+
+    t0 = time.time()
+    theta, fe_val, history = nelder_mead(fe_obj, theta0, maxiter=nm_iters)
+    hyperopt_s = time.time() - t0
+
+    state, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=30)
+    Z = np.asarray(state.x_means)
+    acc = knn_accuracy(Z, labels)
+    acc_pca = knn_accuracy(mean_X, labels)
+    if verbose:
+        print(f"final FE = {float(fe):.3f} (NelderMead best {fe_val:.3f}, {len(history)} evals)")
+        print(f"latent 1-NN accuracy = {acc:.4f} (PCA init baseline: {acc_pca:.4f})")
+        print(f"hyperopt wall: {hyperopt_s:.1f}s (reference: ~900 s)")
+        print(f"optimal θ (softplus) = {np.asarray(softplus(jnp.asarray(theta)))} "
+              f"(reference: [1.4136, 0.7675, 1.0215])")
+    return {"fe": float(fe), "knn_acc": acc, "knn_acc_pca": acc_pca,
+            "theta": np.asarray(theta), "seconds": hyperopt_s,
+            "latents": Z, "labels": labels}
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run(nm_iters=int(args[0]) if args else 25)

@@ -1,0 +1,166 @@
+"""GPLVM inference: latent-input VMP through the MultiSGP node.
+
+Reference workload: GPLVM.ipynb (SURVEY.md §3.4). Model:
+
+    v ~ MvNWMP(0, I_D ⊗ Kuu(θ))        (whitened prior: precision = Kuu)
+    x_i ~ MvN(x̄_i^PCA, 100·I_2)
+    y_i ~ MultiSGP(x_i, v, W=1e2·I_D, θ)    W PointMass, D=12 outputs
+
+Mean-field q(x)q(v). Per VMP iteration:
+  1. every q(x_i): Laplace in-message (MultiSGPnode.jl:210-236 — L-BFGS on
+     −log ν, Hessian precision) × the MvN prior — a closed-form Gaussian
+     product, vmapped over the N latents;
+  2. q(v): natural sum of v-messages with expected Ψ's under the fresh q(x).
+
+FE (the NelderMead objective in the reference) = Σ node energies +
+prior energies − entropies.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import JITTER_KUU_SSM
+from ..dists import MvGaussian, MvGaussianNat, mv_gaussian_entropy
+from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy, in_log_message
+from ..ops import psi as psiops
+from ..ops import quadrature as quad
+from ..ops.linalg import chol_lower, chol_solve, cholinv, sym
+from .batch_vmp import prior_energy_mvn
+
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+class GPLVMState(NamedTuple):
+    x_means: jax.Array  # (N, Din)
+    x_covs: jax.Array  # (N, Din, Din)
+    xi_v: jax.Array
+    prec_v: jax.Array
+
+
+def _qv_stats(xi, prec):
+    L = chol_lower(sym(prec))
+    eye = jnp.eye(prec.shape[0], dtype=prec.dtype)
+    cov = sym(chol_solve(L, eye))
+    mu = chol_solve(L, xi)
+    return mu, cov
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "laplace_steps", "compute_fe"))
+def gplvm_vmp(
+    kernel,
+    theta,
+    Xu,
+    Y,  # (N, D_out) observed outputs
+    x_prior_means,  # (N, Din) PCA init
+    x_prior_cov_scale: float = 100.0,
+    W_val: float = 100.0,
+    n_iters: int = 6,
+    laplace_steps: int = 20,
+    compute_fe: bool = True,
+):
+    N, D = Y.shape
+    Din = x_prior_means.shape[1]
+    M = Xu.shape[0]
+    dt = Y.dtype
+    sr = quad.SphericalRadial()
+
+    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
+    Kuu_inv = cholinv(Kuu)
+    args = MultiSGPArgs(theta, Xu, Kuu_inv)
+    W = W_val * jnp.eye(D, dtype=dt)
+    tr_W = jnp.trace(W)
+
+    # θ-dependent whitened prior on v: precision = I_D ⊗ Kuu (GPLVM.ipynb cell 16)
+    prior_prec_v = jnp.kron(jnp.eye(D, dtype=dt), Kuu)
+    prior_xi_v = jnp.zeros(M * D, dtype=dt)
+
+    x_prior_prec = jnp.eye(Din, dtype=dt) / x_prior_cov_scale
+    x_prior_xi = x_prior_means / x_prior_cov_scale  # (N, Din)
+
+    def sweep(state: GPLVMState, _):
+        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        from ..ops.linalg import sum_blocks_weighted
+
+        sumRv_W = sum_blocks_weighted(Rv, W, D, M)
+        A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+        mu_blocks = _split_blocks(mu_v, M, D)
+
+        # ---- 1. q(x_i): Laplace message × prior, vmapped --------------------
+        def update_x(y_i, m_init, xi_p):
+            sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
+
+            def neg_log(x):
+                k = psiops.psi1_exact(kernel, theta, Xu, x)
+                psi0 = kernel.kxx(theta, x)
+                return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
+
+            # L-BFGS from the current marginal mean (the reference's
+            # RequireMarginalFunctionalDependencies start point)
+            from .training import lbfgs_solve
+
+            m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
+            W_z = jax.hessian(neg_log)(m_z)
+            # guard: non-PSD Hessian → fall back to zero-precision message
+            ok = jnp.all(jnp.diagonal(W_z) > 0) & jnp.all(jnp.isfinite(W_z))
+            W_z = jnp.where(ok, W_z, jnp.zeros_like(W_z))
+            # product with the prior (natural params)
+            prec = x_prior_prec + W_z
+            cov = cholinv(sym(prec))
+            mean = cov @ (xi_p + W_z @ m_z)
+            return mean, sym(cov)
+
+        new_means, new_covs = jax.vmap(update_x)(Y, state.x_means, x_prior_xi)
+
+        # ---- 2. q(v) --------------------------------------------------------
+        psi0_b, psi1_b, Kp, wq = psiops.psi_batch_expected_multi(
+            kernel, theta, Xu, sr, new_means, new_covs
+        )
+        sum_psi2 = psiops.sum_weighted_psi2(Kp, wq, jnp.ones((N,), dt))
+        yW = Y @ W.T  # (N, D)
+        xi_v = prior_xi_v + jnp.einsum("nd,mn->dm", yW, psi1_b).reshape(-1)
+        prec_v = prior_prec_v + jnp.kron(W, sum_psi2)
+        return GPLVMState(new_means, new_covs, xi_v, prec_v), None
+
+    state0 = GPLVMState(
+        x_prior_means,
+        jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
+        prior_xi_v,
+        prior_prec_v,
+    )
+    state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
+
+    fe = jnp.asarray(0.0, dt)
+    if compute_fe:
+        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+        logdetW = D * jnp.log(jnp.asarray(W_val, dt))
+
+        def node_e(y_i, m_i, V_i):
+            return average_energy(
+                kernel, sr, args, y_i, jnp.zeros((D, D), dt), MvGaussian(m_i, V_i),
+                mu_v, cov_v, W, logdetW,
+            )
+
+        U_nodes = jnp.sum(jax.vmap(node_e)(Y, state.x_means, state.x_covs))
+        U_x = jnp.sum(
+            jax.vmap(
+                lambda m, V, mp: prior_energy_mvn(
+                    m, V, mp, x_prior_cov_scale * jnp.eye(Din, dtype=dt)
+                )
+            )(state.x_means, state.x_covs, x_prior_means)
+        )
+        U_v = prior_energy_mvn(
+            mu_v, cov_v, jnp.zeros(M * D, dtype=dt), cholinv(sym(prior_prec_v))
+        )
+        H_x = jnp.sum(
+            jax.vmap(lambda m, V: mv_gaussian_entropy(MvGaussian(m, V)))(
+                state.x_means, state.x_covs
+            )
+        )
+        H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+        fe = U_nodes + U_x + U_v - H_x - H_v
+
+    return state, fe

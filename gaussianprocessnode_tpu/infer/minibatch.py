@@ -2,9 +2,15 @@
 
 The reference per-batch pipeline (SURVEY.md §3.1, regression_kin40k.ipynb
 cell 9): one VMP sweep warm-started from the previous batch's q(v), then an
-AdaMax step on the hyperparameter objective. Here the WHOLE epoch — 20
-batches of [Gram, natural-parameter update, Cholesky, solves, grad, AdaMax]
-— is a single jitted ``lax.scan``; no host round-trips inside an epoch.
+AdaMax step on the hyperparameter objective. Here the WHOLE training run is a
+single jitted ``lax.scan``; no host round-trips inside.
+
+TPU-native hot-loop design: NO Cholesky / triangular solves. On this backend
+XLA lowers factorizations to while-loops with ~100 ms of per-op dispatch,
+while matmuls run at ~20 TFLOP/s — so every inverse is a warm-started
+Newton–Schulz iteration (ops/linalg.spd_inverse) and the objective is the
+trace-form :func:`~..objectives.neg_log_backwardmess_gram`. Mathematically
+this computes the same fixed point as the reference (‖Uv k‖² = kᵀRv k).
 
 Natural-parameter warm start: the reference carries q(v) as (μ, Σ) and feeds
 it back as the next batch's prior; accumulating (ξ, Λ) is the same fixed
@@ -19,53 +25,33 @@ import jax.numpy as jnp
 import optax
 
 from ..config import JITTER_KUU
-from ..dists import GammaShapeRate, MvGaussian, MvGaussianNat, gamma_mean
+from ..dists import GammaShapeRate, MvGaussianNat
 from ..nodes import probit as probit_node
-from ..nodes import unisgp
-from ..objectives import neg_log_backwardmess_fast
-from ..ops.linalg import chol_lower, chol_solve, chol_upper, sym
+from ..objectives import neg_log_backwardmess_gram
+from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
 
-__all__ = ["MinibatchCarry", "kin40k_epoch", "fit_kin40k", "banana_epoch", "fit_banana"]
+__all__ = ["MinibatchCarry", "fit_kin40k", "fit_banana"]
+
+# Newton–Schulz budgets: the q(v) precision and Kuu change little between
+# consecutive batches, so a warm start + few iterations suffices in steady
+# state; the first (warmup) epoch uses a bigger budget to cold-start the
+# estimates. The branchless guard in spd_inverse rejects stale warm starts.
+NS_ITERS_WARMUP = 40
+NS_ITERS_STEADY = 8
 
 
 class MinibatchCarry(NamedTuple):
     xi_v: jax.Array
     prec_v: jax.Array
+    cov_v: jax.Array  # warm Newton–Schulz estimate of prec_v⁻¹
+    kuu_inv: jax.Array  # warm estimate of Kuu(θ)⁻¹
     theta: jax.Array
     opt_state: optax.OptState
-    # classification extras (unused in regression): q(w) shape/rate
-    w_shape: jax.Array
+    w_shape: jax.Array  # classification only
     w_rate: jax.Array
 
 
-def _qv_stats(xi, prec):
-    L = chol_lower(sym(prec))
-    eye = jnp.eye(prec.shape[0], dtype=prec.dtype)
-    cov = sym(chol_solve(L, eye))
-    mu = chol_solve(L, xi)
-    Uv = chol_upper(sym(cov + jnp.outer(mu, mu)))
-    return mu, cov, Uv
-
-
-def _regression_batch_step(kernel, Xu, optimizer, w_val, grad_fn):
-    def step(carry: MinibatchCarry, batch):
-        Xb, yb = batch
-        theta = carry.theta
-        Kux = kernel(theta, Xu, Xb)
-        # one VMP sweep: q(v) ← warm q(v) × batch messages (UniSGPnode.jl:144-158)
-        xi = carry.xi_v + w_val * (Kux @ yb)
-        prec = carry.prec_v + w_val * (Kux @ Kux.T)
-        mu_v, _cov, Uv = _qv_stats(xi, prec)
-        # AdaMax step on the batched objective (derivative_helper.jl:23-39)
-        g = grad_fn(theta, Xb, yb, mu_v, Uv)
-        updates, opt_state = optimizer.update(g, carry.opt_state, theta)
-        theta = optax.apply_updates(theta, updates)
-        return MinibatchCarry(xi, prec, theta, opt_state, carry.w_shape, carry.w_rate), None
-
-    return step
-
-
-@partial(jax.jit, static_argnames=("kernel", "epochs"), donate_argnums=())
+@partial(jax.jit, static_argnames=("kernel", "epochs", "warmup_epochs"))
 def fit_kin40k(
     kernel,
     theta0,
@@ -76,30 +62,78 @@ def fit_kin40k(
     w_val: float,
     epochs: int,
     learning_rate: float = 0.002,
+    warmup_epochs: int = 1,
 ):
     """kin40k trainer (reference: regression_kin40k.ipynb cells 9-10):
     w is a PointMass (1e4); per epoch scan over minibatches. Returns
     (θ, q(v) natural params)."""
-    optimizer = optax.adamax(learning_rate)
+    # zero_nans + clipping guard the AdaMax max-accumulator: a single inf/nan
+    # gradient (possible in the first cold-start batches) would otherwise
+    # freeze u at inf and zero every later update
+    optimizer = optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
+    )
+    M = Xu.shape[0]
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
 
-    def objective(th, Xb, yb, mu_v, Uv):
-        return neg_log_backwardmess_fast(
-            th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Uv=Uv, w=w_val,
-            kuu_jitter=JITTER_KUU,
-        )
+    kuu_jit = effective_jitter(theta0.dtype)
 
-    grad_fn = jax.grad(objective)
-    step = _regression_batch_step(kernel, Xu, optimizer, w_val, grad_fn)
+    def make_epoch(ns_iters):
+        def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
+            return neg_log_backwardmess_gram(
+                th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
+                kuu_inv_warm=kuu_warm, ns_iters=ns_iters, kuu_jitter=kuu_jit,
+            )
 
-    def epoch(carry, _):
-        carry, _ = jax.lax.scan(step, carry, (X_batched, y_batched))
-        return carry, None
+        grad_fn = jax.grad(objective, has_aux=True)
+
+        def step(carry: MinibatchCarry, batch):
+            Xb, yb = batch
+            theta = carry.theta
+            Kux = kernel(theta, Xu, Xb)
+            # one VMP sweep: q(v) ← warm q(v) × batch messages
+            # (UniSGPnode.jl:144-158). Mixed precision: (ξ, Λ) accumulate in
+            # float64 (κ(Λ) ≫ 1/ε₃₂); Grams/NS stay in the working dtype, and
+            # μ_v is recovered to f64 accuracy by iterative refinement with
+            # one f64 mat-vec per round.
+            Kux64 = Kux.astype(acc_dt)
+            xi = carry.xi_v + w_val * (Kux64 @ yb.astype(acc_dt))
+            prec = carry.prec_v + w_val * (Kux64 @ Kux64.T)
+            cov = spd_inverse(sym(prec).astype(dt), warm=carry.cov_v, iters=ns_iters)
+            mu64 = ir_solve(sym(prec), xi, cov, rounds=3)
+            mu_v = mu64.astype(dt)
+            Rv = cov + jnp.outer(mu_v, mu_v)
+            # AdaMax step on the batched objective (derivative_helper.jl:23-39)
+            g, kuu_inv = grad_fn(theta, Xb, yb, mu_v, Rv, carry.kuu_inv)
+            updates, opt_state = optimizer.update(g, carry.opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return MinibatchCarry(
+                xi, prec, cov, kuu_inv, theta, opt_state, carry.w_shape, carry.w_rate
+            ), None
+
+        def epoch(carry, _):
+            # reference resets q(v) to its prior at every epoch start
+            # (regression_kin40k.ipynb cell 9: μ_v = zeros; Σ_v = 50I)
+            carry = carry._replace(
+                xi_v=prior_v.xi.astype(acc_dt), prec_v=prior_v.prec.astype(acc_dt)
+            )
+            carry, _ = jax.lax.scan(step, carry, (X_batched, y_batched))
+            return carry, None
+
+        return epoch
 
     carry0 = MinibatchCarry(
-        prior_v.xi, prior_v.prec, theta0, optimizer.init(theta0),
-        jnp.asarray(0.0, dtype=theta0.dtype), jnp.asarray(0.0, dtype=theta0.dtype),
+        prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+        jnp.zeros((M, M), dt), jnp.zeros((M, M), dt),
+        theta0, optimizer.init(theta0),
+        jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
     )
-    carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
+    warmup = min(warmup_epochs, epochs)
+    carry, _ = jax.lax.scan(make_epoch(NS_ITERS_WARMUP), carry0, None, length=warmup)
+    if epochs > warmup:
+        carry, _ = jax.lax.scan(make_epoch(NS_ITERS_STEADY), carry, None, length=epochs - warmup)
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v)
 
 
@@ -120,53 +154,162 @@ def fit_banana(
     → q(w) carried across batches), then AdaMax on pseudo-targets f̄ with the
     batch q(w) mean. Returns (θ, q(v) nat, q(w))."""
     optimizer = optax.adamax(learning_rate)
+    M = Xu.shape[0]
+    dt = theta0.dtype
     a0, b0 = prior_w.shape, prior_w.rate
+    batch = X_batched.shape[1]
 
-    def objective(th, Xb, f, mu_v, Uv, w):
-        return neg_log_backwardmess_fast(
-            th, kernel=kernel, Xu=Xu, X=Xb, y=f, mu_v=mu_v, Uv=Uv, w=w,
-            kuu_jitter=JITTER_KUU,
+    kuu_jit = effective_jitter(theta0.dtype)
+
+    def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
+        return neg_log_backwardmess_gram(
+            th, kernel=kernel, Xu=Xu, X=Xb, y=f, mu_v=mu_v, Rv=Rv, w=w,
+            kuu_inv_warm=kuu_warm, ns_iters=NS_ITERS_WARMUP, kuu_jitter=kuu_jit,
         )
 
-    grad_fn = jax.grad(objective)
+    grad_fn = jax.grad(objective, has_aux=True)
 
-    def step(carry: MinibatchCarry, batch):
-        Xb, yb = batch
+    def step(carry: MinibatchCarry, batch_xy):
+        Xb, yb = batch_xy
         theta = carry.theta
-        Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU)
-        KuuL = chol_lower(Kuu)
         Kux = kernel(theta, Xu, Xb)
         kxx = kernel.diag(theta, Xb)
         w_mean = carry.w_shape / carry.w_rate
-        mu_v, _cov, Uv = _qv_stats(carry.xi_v, carry.prec_v)
-        # forward f messages → probit tilted marginals
-        f_fwd = Kux.T @ mu_v
+        mu_v_prev = carry.cov_v @ carry.xi_v
+        # forward f messages → probit tilted marginals (UniSGPnode.jl:96-104 +
+        # the EP product)
+        f_fwd = Kux.T @ mu_v_prev
         f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
         qf = probit_node.tilted_marginal_batch(f_fwd, f_var, yb)
         # q(v) update with pseudo-targets E[f]
         xi = carry.xi_v + w_mean * (Kux @ qf.mean)
         prec = carry.prec_v + w_mean * (Kux @ Kux.T)
-        mu_v, _cov, Uv = _qv_stats(xi, prec)
-        # q(w) update carried across batches (new posterior = prior + this batch)
-        args = unisgp.UniSGPArgs(theta, Xu, KuuL, Uv)
-        dshape, rates = unisgp.w_message_batch_exact(
-            kernel, args, kxx, Kux, qf.mean, qf.var, mu_v
+        cov = spd_inverse(sym(prec), warm=carry.cov_v, iters=NS_ITERS_WARMUP)
+        mu_v = cov @ xi
+        Rv = cov + jnp.outer(mu_v, mu_v)
+        # q(w) update carried across batches (rates in trace form,
+        # UniSGPnode.jl:219-238: I1 = kxx − kᵀKuu⁻¹k, I2 = residual² + v_f + kᵀRv k)
+        kuu_inv = carry.kuu_inv  # previous-step estimate for the rate terms
+        I1 = kxx - jnp.sum(Kux * (kuu_inv @ Kux), axis=0)
+        I2 = (
+            qf.mean**2 + qf.var
+            - 2.0 * qf.mean * (Kux.T @ mu_v)
+            + jnp.sum(Kux * (Rv @ Kux), axis=0)
         )
-        w_shape = a0 + dshape
-        w_rate = b0 + rates
+        w_shape = a0 + 0.5 * batch
+        w_rate = b0 + 0.5 * jnp.sum(I1 + I2)
         # AdaMax step
-        g = grad_fn(theta, Xb, qf.mean, mu_v, Uv, w_shape / w_rate)
+        g, kuu_inv = grad_fn(theta, Xb, qf.mean, mu_v, Rv, w_shape / w_rate, carry.kuu_inv)
         updates, opt_state = optimizer.update(g, carry.opt_state, theta)
         theta = optax.apply_updates(theta, updates)
-        return MinibatchCarry(xi, prec, theta, opt_state, w_shape, w_rate), None
+        return MinibatchCarry(xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate), None
 
     def epoch(carry, _):
         carry, _ = jax.lax.scan(step, carry, (X_batched, y_batched))
         return carry, None
 
+    # initialize kuu_inv with a cold Newton–Schulz solve at θ₀ so the first
+    # batch's w-rates are sane
+    kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=40)
     carry0 = MinibatchCarry(
-        prior_v.xi, prior_v.prec, theta0, optimizer.init(theta0),
-        jnp.asarray(1e-2, dtype=theta0.dtype), jnp.asarray(1e-2, dtype=theta0.dtype),
+        prior_v.xi, prior_v.prec,
+        spd_inverse(sym(prior_v.prec), iters=40), kuu_inv0,
+        theta0, optimizer.init(theta0),
+        jnp.asarray(1e-2, dt), jnp.asarray(1e-2, dt),
     )
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
-    return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), GammaShapeRate(carry.w_shape, carry.w_rate)
+    return (
+        carry.theta,
+        MvGaussianNat(carry.xi_v, carry.prec_v),
+        GammaShapeRate(carry.w_shape, carry.w_rate),
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "epochs"))
+def fit_kin40k_fast(
+    kernel,
+    theta0,
+    Xu,
+    X,  # (N, Din) full training inputs
+    y,  # (N,)
+    X_batched,  # (B, batch, Din) — same data, pre-batched for the θ steps
+    y_batched,
+    prior_v: MvGaussianNat,
+    w_val: float,
+    epochs: int,
+    learning_rate: float = 0.002,
+):
+    """Epoch-granular kin40k trainer (the benchmark fast path).
+
+    Identical fixed point to :func:`fit_kin40k`: the reference's 20 per-batch
+    natural-parameter updates within an epoch sum to ONE grand update
+    (order-free), so q(v) after every epoch matches the per-batch schedule up
+    to the slow within-epoch drift of θ. Differences to the faithful path:
+
+    - q(v) statistics are refreshed once per epoch: one grand f32 Gram
+      (600×10000, a single MXU matmul) and ONE float64 Newton–Schulz inverse
+      (κ(Λ)~1e9 exceeds 1/ε₃₂; f64 *matmuls* are fast on this backend — it is
+      f64 *elementwise* emulation that explodes op counts, so we spend f64
+      only here);
+    - the 20 AdaMax θ-steps per epoch run fully in f32 against the fixed
+      epoch statistics (κ(Kuu)≈σ²/jitter ~ 3e4 is f32-safe).
+    """
+    optimizer = optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
+    )
+    M = Xu.shape[0]
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
+    kuu_jit = effective_jitter(dt)
+
+    def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
+        return neg_log_backwardmess_gram(
+            th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
+            kuu_inv_warm=kuu_warm, ns_iters=12, kuu_jitter=kuu_jit,
+        )
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def epoch(carry, _):
+        _xi, _prec, cov64, theta, opt_state, kuu_inv = carry
+        # grand q(v) update from the PRIOR: the reference resets q(v) every
+        # epoch (regression_kin40k.ipynb cell 9), so epoch-end q(v) is exactly
+        # prior + Σ_batches messages at the current θ
+        Kall = kernel(theta, Xu, X).astype(acc_dt)  # (M, N) — one MXU Gram
+        # the Gram PRODUCT must be exact-PSD: computed in f32 its rounding
+        # error (~ε₃₂·λmax ≈ 1e2) swamps the prior's λmin and makes Λ
+        # indefinite, which blows up the Newton–Schulz inverse. f64 matmuls
+        # are cheap on this backend — only f64 *elementwise* chains are not.
+        xi = prior_v.xi.astype(acc_dt) + w_val * (Kall @ y.astype(acc_dt))
+        prec = sym(prior_v.prec.astype(acc_dt) + w_val * (Kall @ Kall.T))
+        # cold-start needs ~log2(κ)+10 ≈ 45 iterations (κ(Λ) ~ 1e10); the
+        # warm carry makes later epochs converge in the first few
+        cov64 = spd_inverse(prec, warm=cov64, iters=45)
+        mu64 = ir_solve(prec, xi, cov64, rounds=2)
+        mu_v = mu64.astype(dt)
+        Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+
+        def theta_step(c, batch):
+            th, os_, kw = c
+            Xb, yb = batch
+            g, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
+            upd, os_ = optimizer.update(g, os_, th)
+            return (optax.apply_updates(th, upd), os_, kw), None
+
+        (theta, opt_state, kuu_inv), _ = jax.lax.scan(
+            theta_step, (theta, opt_state, kuu_inv), (X_batched, y_batched)
+        )
+        return (xi, prec, cov64, theta, opt_state, kuu_inv), None
+
+    carry0 = (
+        prior_v.xi.astype(acc_dt),
+        prior_v.prec.astype(acc_dt),
+        jnp.zeros((M, M), acc_dt),
+        theta0,
+        optimizer.init(theta0),
+        jnp.zeros((M, M), dt),
+    )
+    carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
+    xi, prec, cov64, theta, _, _ = carry
+    return theta, MvGaussianNat(xi, prec), cov64

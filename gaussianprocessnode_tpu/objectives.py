@@ -12,7 +12,7 @@ GEMMs/solves over the whole minibatch — the form XLA tiles onto the MXU.
 import jax
 import jax.numpy as jnp
 
-from .ops.linalg import chol_lower, cholinv, tri_solve_lower
+from .ops.linalg import chol_lower, cholinv, spd_inverse, tri_solve_lower
 from .ops.psi import psi_batch_expected_multi, psi_batch_expected_uni
 from .config import JITTER_KUU_SSM
 
@@ -93,6 +93,34 @@ def neg_log_backwardmess_multi(
     tr_terms = jnp.einsum("mnp,mnp,p->n", Kp, AK, wq)
     llh = jnp.sum(-0.5 * tr_W * psi0 + tr_terms + lin_terms)
     return -llh
+
+
+def neg_log_backwardmess_gram(
+    theta, *, kernel, Xu, X, y, mu_v, Rv, w,
+    kuu_inv_warm=None, ns_iters: int = 30, kuu_jitter: float = 0.0,
+):
+    """Factorization-free form of :func:`neg_log_backwardmess_fast` for TPU
+    hot loops: the per-datum triangular solves collapse into trace forms
+
+        −Σᵢ llhᵢ = −[ −½w Σkxxᵢ + ½w·tr(Kuu⁻¹S) − ½w·tr(Rv·S) + w·yᵀKuxᵀμ_v ]
+
+    with S = Kux·Kuxᵀ (one GEMM) and Kuu⁻¹ by warm-started Newton–Schulz
+    (matmul-only, analytic VJP). Returns ``(loss, Kuu_inv)`` so callers can
+    carry the warm start. Mathematically identical to the reference objective
+    (derivative_helper.jl:23-39) since ‖Uv k‖² = kᵀ Rv k.
+    """
+    Kuu = kernel.kuu(theta, Xu, jitter=kuu_jitter)
+    Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters)
+    kxx = kernel.diag(theta, X)
+    Kux = kernel(theta, Xu, X)
+    S = Kux @ Kux.T
+    llh = (
+        -0.5 * w * jnp.sum(kxx)
+        + 0.5 * w * jnp.sum(Kuu_inv * S)
+        - 0.5 * w * jnp.sum(Rv * S)
+        + w * jnp.dot(y, Kux.T @ mu_v)
+    )
+    return -llh, Kuu_inv
 
 
 grad_fast = jax.grad(neg_log_backwardmess_fast)

@@ -23,6 +23,14 @@ def jittered(A: jax.Array, jitter: float = JITTER_KUU) -> jax.Array:
     return A + jitter * jnp.eye(A.shape[-1], dtype=A.dtype)
 
 
+def effective_jitter(dtype, base: float = JITTER_KUU) -> float:
+    """Dtype-aware jitter: the reference's 1e-8 is meaningless below float32
+    resolution (ε ≈ 1.2e-7), so the f32 fast path scales it up to keep
+    near-duplicate inducing inputs from making Kuu exactly singular."""
+    eps = float(jnp.finfo(dtype).eps)
+    return max(base, 300.0 * eps)
+
+
 def chol_lower(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     """Lower Cholesky factor, optionally with added jitter.
 
@@ -118,6 +126,109 @@ def sum_blocks_weighted(Rv: jax.Array, W: jax.Array, D: int, M: int) -> jax.Arra
     (reference: `sum(create_blockmatrix(Σ_v,D,M) .* W)`, MultiSGPnode.jl:180)."""
     blocks = Rv.reshape(D, M, D, M)
     return jnp.einsum("imjn,ij->mn", blocks, W)
+
+
+def spd_inverse_ns(A: jax.Array, warm: jax.Array | None = None, iters: int = 30) -> jax.Array:
+    """Inverse of a symmetric positive-definite matrix by Newton–Schulz
+    iteration — matmul-only, no factorization.
+
+    Motivation (TPU-native): on this backend XLA lowers cholesky /
+    triangular_solve to while-loops with thousands of tiny ops (~4 µs per-op
+    dispatch ⇒ ~100 ms per factorization inside hot loops), while 600³
+    matmuls run at ~20 TFLOP/s. X_{k+1} = X_k(2I − A X_k) converges
+    quadratically with the safe SPD init X₀ = I/‖A‖∞ and is pure MXU work.
+
+    ``warm``: previous estimate of A⁻¹ (e.g. from the last minibatch step).
+    Used only when ‖I − A·warm‖_F < 0.5, else falls back to the cold init —
+    a branchless jnp.where guard.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    # full-precision matmuls: TPU f32 dots default to bfloat16 passes
+    # (ε≈8e-3), which stalls/diverges the iteration on ill-conditioned input
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    norm_inf = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
+    X0 = eye / norm_inf
+    if warm is not None:
+        R = eye - mm(A, warm)
+        ok = jnp.sqrt(jnp.sum(R * R)) < 0.5
+        X0 = jnp.where(ok, warm, X0)
+
+    X0_cold = eye / norm_inf
+
+    def body(X, _):
+        R = eye - mm(A, X)
+        Xn = X + mm(X, R)
+        # branchless divergence guard: rounding can kick an eigenvalue of AX
+        # past 2, after which the iteration explodes — restart cold
+        ok = jnp.isfinite(jnp.sum(Xn))
+        return jnp.where(ok, Xn, X0_cold), None
+
+    X, _ = jax.lax.scan(body, X0, None, length=iters)
+    return sym(X)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _spd_inverse_d(A: jax.Array, warm: jax.Array, iters: int) -> jax.Array:
+    return spd_inverse_ns(A, warm, iters)
+
+
+def _spd_inverse_fwd(A, warm, iters):
+    X = spd_inverse_ns(A, warm, iters)
+    return X, X
+
+
+def _spd_inverse_bwd(iters, X, g):
+    # inverse-function identity on the primal output: Ā = −A⁻¹ Ḡ A⁻¹ —
+    # two matmuls, no differentiation through the iteration
+    return (-X @ g @ X, jnp.zeros_like(X))
+
+
+_spd_inverse_d.defvjp(_spd_inverse_fwd, _spd_inverse_bwd)
+
+
+def spd_inverse(A: jax.Array, warm: jax.Array | None = None, iters: int = 30) -> jax.Array:
+    """Differentiable SPD inverse (Newton–Schulz forward, analytic VJP)."""
+    if warm is None:
+        warm = jnp.zeros_like(A)  # guard rejects it (‖I‖_F ≥ 0.5) → cold init
+    return _spd_inverse_d(A, warm, iters)
+
+
+def ir_solve(A64: jax.Array, b64: jax.Array, M32: jax.Array, rounds: int = 3) -> jax.Array:
+    """Mixed-precision iterative refinement for A x = b.
+
+    ``M32`` is an approximate inverse of A in float32 (e.g. a Newton–Schulz
+    estimate whose residual ‖I − A·M‖ may be large for κ ≫ 1/ε₃₂). Residuals
+    are computed with ONE float64 mat-vec per round — cheap even where f64 is
+    software-emulated — so x converges at rate ‖I − A·M‖ to f64 accuracy:
+
+        x ← x + M·(b − A x)₆₄
+    """
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.matmul(M32, b64.astype(M32.dtype), precision=hi).astype(b64.dtype)
+
+    def resid(x):
+        return b64 - jnp.matmul(A64, x, precision=hi)
+
+    def body(carry, _):
+        x, rnorm = carry
+        r = resid(x)
+        dx = jnp.matmul(M32, r.astype(M32.dtype), precision=hi)
+        x_new = x + dx.astype(b64.dtype)
+        r_new = resid(x_new)
+        rn_new = jnp.sum(r_new * r_new)
+        # safeguard: when M is a poor preconditioner (early cold batches) the
+        # refinement diverges — keep the previous iterate in that case
+        ok = rn_new < rnorm
+        x = jnp.where(ok, x_new, x)
+        return (x, jnp.minimum(rn_new, rnorm)), None
+
+    r0 = resid(x)
+    (x, _), _ = jax.lax.scan(body, (x, jnp.sum(r0 * r0)), None, length=rounds)
+    return x
 
 
 def sum_diagonal_blocks(V: jax.Array, M: int) -> jax.Array:

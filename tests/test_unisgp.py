@@ -11,6 +11,7 @@ k = θ₀·SE(ℓ=θ₁) with θ = [1, 1].
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from gaussianprocessnode_tpu.dists import Gaussian, gamma_mean, gamma_mean_log, GammaShapeRate
@@ -326,3 +327,35 @@ class TestAverageEnergy:
             for i in range(4)
         )
         np.testing.assert_allclose(total, per, atol=1e-9)
+
+
+class TestGramObjective:
+    def test_gram_form_equals_uv_form(self):
+        from gaussianprocessnode_tpu.objectives import (
+            neg_log_backwardmess_fast,
+            neg_log_backwardmess_gram,
+        )
+
+        X = jnp.asarray(rng.standard_normal((12, 1)))
+        y = jnp.asarray(rng.standard_normal(12))
+        w = 3.0
+        Uv = chol_upper(RV)
+        ref = neg_log_backwardmess_fast(
+            THETA, kernel=KER, Xu=XU, X=X, y=y, mu_v=MU_V, Uv=Uv, w=w
+        )
+        val, kinv = neg_log_backwardmess_gram(
+            THETA, kernel=KER, Xu=XU, X=X, y=y, mu_v=MU_V, Rv=RV, w=w, ns_iters=60
+        )
+        np.testing.assert_allclose(val, ref, rtol=1e-9)
+        # gradients agree too
+        g_ref = jax.grad(
+            lambda t: neg_log_backwardmess_fast(
+                t, kernel=KER, Xu=XU, X=X, y=y, mu_v=MU_V, Uv=Uv, w=w
+            )
+        )(THETA)
+        g_new = jax.grad(
+            lambda t: neg_log_backwardmess_gram(
+                t, kernel=KER, Xu=XU, X=X, y=y, mu_v=MU_V, Rv=RV, w=w, ns_iters=60
+            )[0]
+        )(THETA)
+        np.testing.assert_allclose(g_new, g_ref, rtol=1e-7)
