@@ -56,10 +56,11 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
     jax.block_until_ready(theta)
     train_s = time.time() - t0
 
-    from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, sym
+    from gaussianprocessnode_tpu.ops.linalg import ir_solve, spd_inverse_ns, sym
 
-    L = chol_lower(sym(qv_nat.prec))
-    mu_v = chol_solve(L, qv_nat.xi)
+    prec = sym(qv_nat.prec)
+    cov = spd_inverse_ns(prec, iters=60)
+    mu_v = ir_solve(prec, qv_nat.xi, cov, rounds=4).astype(dtype)
     probs = predict_probit(kernel, theta, Xu, Xte, mu_v, gamma_mean(qw))
     pred = (np.asarray(probs) >= 0.5).astype(float)
     errs = float(num_error(yte, pred))

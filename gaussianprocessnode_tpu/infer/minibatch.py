@@ -147,24 +147,30 @@ def fit_banana(
     prior_v: MvGaussianNat,
     prior_w: GammaShapeRate,
     epochs: int,
-    learning_rate: float = 0.002,
+    learning_rate: float = 0.001,
 ):
     """Banana classification trainer (classification_banana.ipynb cell 9):
     per batch, 1 VMP sweep (forward f → probit tilted q(f) → q(v) warm-started
     → q(w) carried across batches), then AdaMax on pseudo-targets f̄ with the
-    batch q(w) mean. Returns (θ, q(v) nat, q(w))."""
-    optimizer = optax.adamax(learning_rate)
+    batch q(w) mean. Unlike kin40k, q(v)/q(w) accumulate ACROSS epochs (the
+    reference's per-epoch resets are commented out). Mixed precision as in
+    fit_kin40k: f64 (ξ, Λ) + Newton–Schulz/IR solves, f32 Grams.
+    Returns (θ, q(v) nat, q(w))."""
+    optimizer = optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
+    )
     M = Xu.shape[0]
     dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
     a0, b0 = prior_w.shape, prior_w.rate
     batch = X_batched.shape[1]
 
-    kuu_jit = effective_jitter(theta0.dtype)
+    kuu_jit = effective_jitter(dt)
 
     def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
         return neg_log_backwardmess_gram(
             th, kernel=kernel, Xu=Xu, X=Xb, y=f, mu_v=mu_v, Rv=Rv, w=w,
-            kuu_inv_warm=kuu_warm, ns_iters=NS_ITERS_WARMUP, kuu_jitter=kuu_jit,
+            kuu_inv_warm=kuu_warm, ns_iters=NS_ITERS_STEADY, kuu_jitter=kuu_jit,
         )
 
     grad_fn = jax.grad(objective, has_aux=True)
@@ -173,33 +179,37 @@ def fit_banana(
         Xb, yb = batch_xy
         theta = carry.theta
         Kux = kernel(theta, Xu, Xb)
+        Kux64 = Kux.astype(acc_dt)
         kxx = kernel.diag(theta, Xb)
         w_mean = carry.w_shape / carry.w_rate
-        mu_v_prev = carry.cov_v @ carry.xi_v
-        # forward f messages → probit tilted marginals (UniSGPnode.jl:96-104 +
-        # the EP product)
+        mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v, rounds=2).astype(dt)
+        # forward f messages → probit tilted marginals (UniSGPnode.jl:96-104
+        # + the EP product)
         f_fwd = Kux.T @ mu_v_prev
-        f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
+        f_var = jnp.full_like(f_fwd, 1.0 / w_mean.astype(dt))
         qf = probit_node.tilted_marginal_batch(f_fwd, f_var, yb)
-        # q(v) update with pseudo-targets E[f]
-        xi = carry.xi_v + w_mean * (Kux @ qf.mean)
-        prec = carry.prec_v + w_mean * (Kux @ Kux.T)
-        cov = spd_inverse(sym(prec), warm=carry.cov_v, iters=NS_ITERS_WARMUP)
-        mu_v = cov @ xi
-        Rv = cov + jnp.outer(mu_v, mu_v)
-        # q(w) update carried across batches (rates in trace form,
-        # UniSGPnode.jl:219-238: I1 = kxx − kᵀKuu⁻¹k, I2 = residual² + v_f + kᵀRv k)
-        kuu_inv = carry.kuu_inv  # previous-step estimate for the rate terms
-        I1 = kxx - jnp.sum(Kux * (kuu_inv @ Kux), axis=0)
+        # q(v) update with pseudo-targets E[f]; PSD-exact f64 products
+        xi = carry.xi_v + w_mean * (Kux64 @ qf.mean.astype(acc_dt))
+        prec = sym(carry.prec_v + w_mean * (Kux64 @ Kux64.T))
+        cov = spd_inverse(prec, warm=carry.cov_v, iters=30)
+        mu64 = ir_solve(prec, xi, cov, rounds=2)
+        mu_v = mu64.astype(dt)
+        Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
+        # q(w) update carried across batches (rate in trace form,
+        # UniSGPnode.jl:219-238: I1 = kxx − kᵀKuu⁻¹k, I2 = resid² + v_f + kᵀRv k)
+        kuu_inv = carry.kuu_inv
+        I1 = jnp.maximum(kxx - jnp.sum(Kux * (kuu_inv @ Kux), axis=0), 0.0)
         I2 = (
             qf.mean**2 + qf.var
             - 2.0 * qf.mean * (Kux.T @ mu_v)
             + jnp.sum(Kux * (Rv @ Kux), axis=0)
         )
-        w_shape = a0 + 0.5 * batch
-        w_rate = b0 + 0.5 * jnp.sum(I1 + I2)
+        w_shape = (a0 + 0.5 * batch).astype(acc_dt)
+        w_rate = (b0 + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
         # AdaMax step
-        g, kuu_inv = grad_fn(theta, Xb, qf.mean, mu_v, Rv, w_shape / w_rate, carry.kuu_inv)
+        g, kuu_inv = grad_fn(
+            theta, Xb, qf.mean, mu_v, Rv, (w_shape / w_rate).astype(dt), carry.kuu_inv
+        )
         updates, opt_state = optimizer.update(g, carry.opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         return MinibatchCarry(xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate), None
@@ -208,14 +218,12 @@ def fit_banana(
         carry, _ = jax.lax.scan(step, carry, (X_batched, y_batched))
         return carry, None
 
-    # initialize kuu_inv with a cold Newton–Schulz solve at θ₀ so the first
-    # batch's w-rates are sane
-    kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=40)
+    kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
     carry0 = MinibatchCarry(
-        prior_v.xi, prior_v.prec,
-        spd_inverse(sym(prior_v.prec), iters=40), kuu_inv0,
+        prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+        spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
         theta0, optimizer.init(theta0),
-        jnp.asarray(1e-2, dt), jnp.asarray(1e-2, dt),
+        jnp.asarray(1e-2, acc_dt), jnp.asarray(1e-2, acc_dt),
     )
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
     return (

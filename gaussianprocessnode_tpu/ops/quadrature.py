@@ -273,7 +273,21 @@ def moment_match_multi(logf, m, V, method=SphericalRadial()):
     mt = (w * f) @ pts / Z
     diff = pts - mt[None, :]
     Vt = jnp.einsum("p,pi,pj->ij", w * f, diff, diff) / Z
-    good = jnp.all(jnp.isfinite(mt)) & jnp.all(jnp.isfinite(Vt))
+    # guard: with few cubature points a strongly-varying log-density makes the
+    # matched covariance (near-)singular — fall back to the Gaussian factor,
+    # mirroring the reference's overflow/NaN fallback (MultiSGPnode.jl:39-43).
+    # Keep a relative floor so "barely PD" results remain usable downstream
+    # (their cholsqrt feeds the next sweep's sigma points).
+    d = m.shape[-1]
+    floor = 1e-8 * jnp.trace(V) / d
+    Vt = Vt + floor * jnp.eye(d, dtype=V.dtype)
+    L = jnp.linalg.cholesky(Vt)
+    good = (
+        jnp.all(jnp.isfinite(mt))
+        & jnp.all(jnp.isfinite(Vt))
+        & jnp.all(jnp.isfinite(L))
+        & (jnp.min(jnp.diagonal(L)) > jnp.sqrt(floor) * 0.5)
+    )
     m_out = jnp.where(good, mt, m)
     V_out = jnp.where(good, Vt, V)
     return m_out, V_out
