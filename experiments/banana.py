@@ -51,8 +51,18 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
     prior_v = MvGaussianNat(jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype) / 50.0)
     prior_w = GammaShapeRate(jnp.asarray(1e-2, dtype), jnp.asarray(1e-2, dtype))
 
+    # chunk the run: single on-device executions beyond ~2 minutes hit the
+    # device-tunnel RPC deadline in this environment
+    chunk = 100
     t0 = time.time()
-    theta, qv_nat, qw = fit_banana(kernel, theta0, Xu, Xb, yb, prior_v, prior_w, epochs)
+    state = None
+    done = 0
+    while done < epochs:
+        e = min(chunk, epochs - done)
+        theta, qv_nat, qw, state = fit_banana(
+            kernel, theta0, Xu, Xb, yb, prior_v, prior_w, e, resume_state=state
+        )
+        done += e
     jax.block_until_ready(theta)
     train_s = time.time() - t0
 

@@ -148,6 +148,7 @@ def fit_banana(
     prior_w: GammaShapeRate,
     epochs: int,
     learning_rate: float = 0.001,
+    resume_state: MinibatchCarry | None = None,
 ):
     """Banana classification trainer (classification_banana.ipynb cell 9):
     per batch, 1 VMP sweep (forward f → probit tilted q(f) → q(v) warm-started
@@ -204,8 +205,12 @@ def fit_banana(
             - 2.0 * qf.mean * (Kux.T @ mu_v)
             + jnp.sum(Kux * (Rv @ Kux), axis=0)
         )
-        w_shape = (a0 + 0.5 * batch).astype(acc_dt)
-        w_rate = (b0 + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
+        # the carried q(w) is the next batch-model's PRIOR in the reference
+        # (classification_banana.ipynb cell 9: shape/rate are fed back), so
+        # shape and rate ACCUMULATE — this damping is what keeps the
+        # w ↔ forward-variance feedback loop stable
+        w_shape = (carry.w_shape + 0.5 * batch).astype(acc_dt)
+        w_rate = (carry.w_rate + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
         # AdaMax step
         g, kuu_inv = grad_fn(
             theta, Xb, qf.mean, mu_v, Rv, (w_shape / w_rate).astype(dt), carry.kuu_inv
@@ -218,18 +223,22 @@ def fit_banana(
         carry, _ = jax.lax.scan(step, carry, (X_batched, y_batched))
         return carry, None
 
-    kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
-    carry0 = MinibatchCarry(
-        prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
-        spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
-        theta0, optimizer.init(theta0),
-        jnp.asarray(1e-2, acc_dt), jnp.asarray(1e-2, acc_dt),
-    )
+    if resume_state is None:
+        kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
+        carry0 = MinibatchCarry(
+            prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+            spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
+            theta0, optimizer.init(theta0),
+            jnp.asarray(1e-2, acc_dt), jnp.asarray(1e-2, acc_dt),
+        )
+    else:
+        carry0 = resume_state
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
     return (
         carry.theta,
         MvGaussianNat(carry.xi_v, carry.prec_v),
         GammaShapeRate(carry.w_shape, carry.w_rate),
+        carry,
     )
 
 
