@@ -124,13 +124,29 @@ def run(epochs: int = 150, n_iters: int = 10, adamax_steps: int = 100, verbose: 
     pr1 = float(smse(x_true_test[:, 0], np.asarray(pred_means[:, 0])))
     pr2 = float(smse(x_true_test[:, 1], np.asarray(pred_means[:, 1])))
 
+    # UT smoother baseline with KNOWN dynamics (reference cells 26-27)
+    from gaussianprocessnode_tpu.infer.ut_smoother import ut_smoother_vmp
+
+    def transition(x):
+        return jnp.stack([x[0] + x[1] * dt, x[1] - 9.81 * jnp.sin(x[0]) * dt])
+
+    ut_state = ut_smoother_vmp(
+        transition, y_train, P_j, prior_x0_mean, prior_x0_cov, 100.0, jnp.eye(2),
+        n_iters=30,
+    )
+    ut1 = float(smse(x_true_train[:, 0], np.asarray(ut_state.x_means[1:, 0])))
+    ut2 = float(smse(x_true_train[:, 1], np.asarray(ut_state.x_means[1:, 1])))
+
     if verbose:
         print(f"hyperopt wall: {hyperopt_s:.1f}s (reference: 1615 s)")
         print(f"smoothing SMSE: state1={sm1:.6f} (ref 0.005455), state2={sm2:.6f} (ref 0.001077)")
+        print(f"UT baseline (known dynamics): state1={ut1:.6f} (ref 0.006313), "
+              f"state2={ut2:.6f} (ref 0.000800)")
         print(f"1-step-ahead SMSE: state1={pr1:.6f}, state2={pr2:.6f}")
         print(f"optimal θ (softplus) = {np.asarray(softplus(theta))} (ref [0.5653, 2.2883, 4.7517])")
     return {
         "smse_smooth": (sm1, sm2),
+        "smse_ut_baseline": (ut1, ut2),
         "smse_predict": (pr1, pr2),
         "fe_trace": fe_trace,
         "theta": np.asarray(theta),

@@ -81,7 +81,22 @@ def gplvm_vmp(
     x_prior_xi = x_prior_means / x_prior_cov_scale  # (N, Din)
 
     def sweep(state: GPLVMState, _):
-        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+        # ---- 1. q(v) from the current latent marginals ----------------------
+        # Order matters: at initialization q(v) sits at its whitened prior,
+        # which makes the in-message exactly flat (A_in = 0) — updating x
+        # first would collapse q(x) to the broad prior and extinguish every
+        # Ψ-statistic (a degenerate fixed point). Updating v first from the
+        # unit-variance initial marginals (the reference's
+        # RequireMarginalFunctionalDependencies init) escapes it.
+        psi0_b, psi1_b, Kp, wq = psiops.psi_batch_expected_multi(
+            kernel, theta, Xu, sr, state.x_means, state.x_covs
+        )
+        sum_psi2 = psiops.sum_weighted_psi2(Kp, wq, jnp.ones((N,), dt))
+        yW = Y @ W.T  # (N, D)
+        xi_v = prior_xi_v + jnp.einsum("nd,mn->dm", yW, psi1_b).reshape(-1)
+        prec_v = prior_prec_v + jnp.kron(W, sum_psi2)
+
+        mu_v, cov_v = _qv_stats(xi_v, prec_v)
         Rv = cov_v + jnp.outer(mu_v, mu_v)
         from ..ops.linalg import sum_blocks_weighted
 
@@ -89,7 +104,7 @@ def gplvm_vmp(
         A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
         mu_blocks = _split_blocks(mu_v, M, D)
 
-        # ---- 1. q(x_i): Laplace message × prior, vmapped --------------------
+        # ---- 2. q(x_i): Laplace message × prior, vmapped --------------------
         def update_x(y_i, m_init, xi_p):
             sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
 
@@ -114,15 +129,6 @@ def gplvm_vmp(
             return mean, sym(cov)
 
         new_means, new_covs = jax.vmap(update_x)(Y, state.x_means, x_prior_xi)
-
-        # ---- 2. q(v) --------------------------------------------------------
-        psi0_b, psi1_b, Kp, wq = psiops.psi_batch_expected_multi(
-            kernel, theta, Xu, sr, new_means, new_covs
-        )
-        sum_psi2 = psiops.sum_weighted_psi2(Kp, wq, jnp.ones((N,), dt))
-        yW = Y @ W.T  # (N, D)
-        xi_v = prior_xi_v + jnp.einsum("nd,mn->dm", yW, psi1_b).reshape(-1)
-        prec_v = prior_prec_v + jnp.kron(W, sum_psi2)
         return GPLVMState(new_means, new_covs, xi_v, prec_v), None
 
     state0 = GPLVMState(

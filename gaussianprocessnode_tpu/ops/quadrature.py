@@ -291,3 +291,44 @@ def moment_match_multi(logf, m, V, method=SphericalRadial()):
     m_out = jnp.where(good, mt, m)
     V_out = jnp.where(good, Vt, V)
     return m_out, V_out
+
+
+# ---------------------------------------------------------------------------
+# GenUT statistics propagation (reference: ut_approx.jl:40-112)
+# ---------------------------------------------------------------------------
+
+
+def genut_statistics_uni(g, m, v, S=None, K=None, compute_cross: bool = True):
+    """Propagate a univariate distribution through g with GenUT sigma points,
+    returning (m̃, Ṽ, S̃, K̃, C̃) — transformed mean/var/3rd/4th central
+    moments and the input-output cross-covariance
+    (reference: unscented_statistics, ut_approx.jl:51-69)."""
+    pts, w = genut_points_weights_uni(m, v, S, K)
+    gs = jax.vmap(g)(pts)
+    mt = jnp.sum(w * gs)
+    d = gs - mt
+    Vt = jnp.sum(w * d**2)
+    St = jnp.sum(w * d**3)
+    Kt = jnp.sum(w * d**4)
+    Ct = jnp.sum(w * (pts - m) * d) if compute_cross else None
+    return mt, Vt, St, Kt, Ct
+
+
+def genut_statistics_multi(g, m, V, S=None, K=None, compute_cross: bool = True):
+    """Multivariate GenUT propagation (reference: ut_approx.jl:72-91)."""
+    pts, w = genut_points_weights_multi(m, V, S, K)
+    gs = jax.vmap(g)(pts)
+    mt = w @ gs
+    d = gs - mt
+    Vt = jnp.einsum("p,pi,pj->ij", w, d, d)
+    St = jnp.einsum("p,pi->i", w, d**3)
+    Kt = jnp.einsum("p,pi->i", w, d**4)
+    Ct = jnp.einsum("p,pi,pj->ij", w, pts - m, d) if compute_cross else None
+    return mt, Vt, St, Kt, Ct
+
+
+def genut_expectation_uni(g, m, v, S=None, K=None):
+    """E[g(x)] under GenUT points (reference: approximate_expectation,
+    ut_approx.jl:19-26)."""
+    pts, w = genut_points_weights_uni(m, v, S, K)
+    return jnp.tensordot(w, jax.vmap(g)(pts), axes=1)
