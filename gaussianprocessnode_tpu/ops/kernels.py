@@ -115,10 +115,14 @@ class Kernel:
     ``softplus(θ[1]) * with_lengthscale(SE, softplus.(θ[2:]))``
     (reference: regression_kin40k.ipynb cell 5). ``'identity'`` matches the
     raw parameterization used in GPtest.jl:21.
+
+    ``use_pallas=True`` routes SE Grams through the fused Pallas TPU kernel
+    (ops/pallas_gram.py) on TPU/f32, with automatic jnp fallback elsewhere.
     """
 
     kind: str = "se"
     transform: str = "identity"
+    use_pallas: bool = False
 
     def params(self, theta: jax.Array):
         theta = jnp.asarray(theta)
@@ -128,7 +132,12 @@ class Kernel:
 
     def __call__(self, theta, X, Z) -> jax.Array:
         var, ls = self.params(theta)
-        return gram(self.kind, jnp.atleast_2d(X), jnp.atleast_2d(Z), var, ls)
+        X2, Z2 = jnp.atleast_2d(X), jnp.atleast_2d(Z)
+        if self.use_pallas and self.kind == "se":
+            from .pallas_gram import se_gram_auto
+
+            return se_gram_auto(X2, Z2, var, ls)
+        return gram(self.kind, X2, Z2, var, ls)
 
     def diag(self, theta, X) -> jax.Array:
         var, _ = self.params(theta)

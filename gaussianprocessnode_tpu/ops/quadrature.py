@@ -85,11 +85,16 @@ class GenUT:
 
 
 @lru_cache(maxsize=None)
+def _gh_nodes_np(n: int):
+    # cache HOST constants only: caching jnp arrays created inside a jit
+    # trace leaks tracers across traces (UnexpectedTracerError)
+    x, w = np.polynomial.hermite.hermgauss(n)
+    return np.sqrt(2.0) * x, w / np.sqrt(np.pi)
+
+
 def gh_nodes(n: int):
     """Hermite-Gauss nodes/weights for E[f(Z)], Z~N(0,1): Σ w_i f(z_i)."""
-    x, w = np.polynomial.hermite.hermgauss(n)
-    z = np.sqrt(2.0) * x
-    wn = w / np.sqrt(np.pi)
+    z, wn = _gh_nodes_np(n)
     return jnp.asarray(z), jnp.asarray(wn)
 
 

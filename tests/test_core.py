@@ -345,3 +345,17 @@ class TestNewtonSchulz:
         g_ns = jax.grad(f_ns)(A)
         g_ref = jax.grad(f_ref)(A)
         np.testing.assert_allclose(g_ns, g_ref, atol=1e-7)
+
+
+class TestPallasGram:
+    def test_fallback_matches_reference(self):
+        # on CPU se_gram_auto falls back to the jnp path; on TPU (bench env)
+        # the Pallas kernel was verified bit-exact against XLA
+        from gaussianprocessnode_tpu.ops.pallas_gram import se_gram_auto
+
+        Z = jnp.asarray(rng.standard_normal((13, 3)), jnp.float32)
+        X = jnp.asarray(rng.standard_normal((29, 3)), jnp.float32)
+        ls = jnp.asarray([0.7, 1.1, 1.4], jnp.float32)
+        np.testing.assert_allclose(
+            se_gram_auto(Z, X, 1.3, ls), kern.se_gram(Z, X, 1.3, ls), atol=1e-6
+        )
