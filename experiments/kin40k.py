@@ -61,16 +61,27 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
 
     def train():
         if faithful:
-            theta, qv_nat = fit_kin40k(
-                kernel, theta0, Xu, Xb, yb, prior_v, w_val, epochs,
-                learning_rate=learning_rate,
-            )
+            # chunked: long single executions hit the tunnel RPC deadline
+            state = None
+            done = 0
+            while done < epochs:
+                e = min(100, epochs - done)
+                theta, qv_nat, state = fit_kin40k(
+                    kernel, theta0, Xu, Xb, yb, prior_v, w_val, e,
+                    learning_rate=learning_rate, resume_state=state,
+                )
+                done += e
             cov64 = None
         else:
-            theta, qv_nat, cov64 = fit_kin40k_fast(
-                kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v, w_val, epochs,
-                learning_rate=learning_rate,
-            )
+            state = None
+            done = 0
+            while done < epochs:
+                e = min(500, epochs - done)
+                theta, qv_nat, cov64, state = fit_kin40k_fast(
+                    kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v, w_val, e,
+                    learning_rate=learning_rate, resume_state=state,
+                )
+                done += e
         jax.block_until_ready(theta)
         return theta, qv_nat, cov64
 

@@ -38,6 +38,7 @@ __all__ = ["MinibatchCarry", "fit_kin40k", "fit_banana"]
 # estimates. The branchless guard in spd_inverse rejects stale warm starts.
 NS_ITERS_WARMUP = 40
 NS_ITERS_STEADY = 8
+NS_ITERS_FAITHFUL = 30
 
 
 class MinibatchCarry(NamedTuple):
@@ -61,12 +62,15 @@ def fit_kin40k(
     prior_v: MvGaussianNat,
     w_val: float,
     epochs: int,
-    learning_rate: float = 0.002,
+    learning_rate: float = 0.001,
     warmup_epochs: int = 1,
+    resume_state: MinibatchCarry | None = None,
 ):
     """kin40k trainer (reference: regression_kin40k.ipynb cells 9-10):
     w is a PointMass (1e4); per epoch scan over minibatches. Returns
-    (θ, q(v) natural params)."""
+    (θ, q(v) natural params, carry) — pass the carry back as
+    ``resume_state`` to continue (single device executions beyond ~2-3 min
+    hit this environment's tunnel RPC deadline, so long runs chunk)."""
     # zero_nans + clipping guard the AdaMax max-accumulator: a single inf/nan
     # gradient (possible in the first cold-start batches) would otherwise
     # freeze u at inf and zero every later update
@@ -130,11 +134,17 @@ def fit_kin40k(
         theta0, optimizer.init(theta0),
         jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
     )
-    warmup = min(warmup_epochs, epochs)
-    carry, _ = jax.lax.scan(make_epoch(NS_ITERS_WARMUP), carry0, None, length=warmup)
+    if resume_state is not None:
+        carry0 = resume_state
+        warmup = 0
+    else:
+        warmup = min(warmup_epochs, epochs)
+    carry = carry0
+    if warmup:
+        carry, _ = jax.lax.scan(make_epoch(NS_ITERS_WARMUP), carry, None, length=warmup)
     if epochs > warmup:
         carry, _ = jax.lax.scan(make_epoch(NS_ITERS_STEADY), carry, None, length=epochs - warmup)
-    return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v)
+    return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 
 @partial(jax.jit, static_argnames=("kernel", "epochs"))
@@ -242,7 +252,7 @@ def fit_banana(
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "epochs"))
+@partial(jax.jit, static_argnames=("kernel", "epochs", "learning_rate", "lr_decay_rate", "stats_refreshes"))
 def fit_kin40k_fast(
     kernel,
     theta0,
@@ -254,9 +264,16 @@ def fit_kin40k_fast(
     prior_v: MvGaussianNat,
     w_val: float,
     epochs: int,
-    learning_rate: float = 0.002,
+    learning_rate: float = 0.001,
+    lr_decay_rate: float = 1.0,
+    stats_refreshes: int = 1,
+    resume_state=None,
 ):
     """Epoch-granular kin40k trainer (the benchmark fast path).
+    ``stats_refreshes``: q(v) statistics refreshes per epoch (1 = one grand
+    update; B = the reference's per-batch freshness).
+    ``lr_decay_rate``: exponential decay factor applied over the whole run
+    (1.0 = constant; 0.1 = decay to a tenth) — stabilizes long horizons.
 
     Identical fixed point to :func:`fit_kin40k`: the reference's 20 per-batch
     natural-parameter updates within an epoch sum to ONE grand update
@@ -271,8 +288,15 @@ def fit_kin40k_fast(
     - the 20 AdaMax θ-steps per epoch run fully in f32 against the fixed
       epoch statistics (κ(Kuu)≈σ²/jitter ~ 3e4 is f32-safe).
     """
+    B = X_batched.shape[0]
+    if lr_decay_rate != 1.0:
+        lr = optax.exponential_decay(
+            learning_rate, transition_steps=epochs * B, decay_rate=lr_decay_rate
+        )
+    else:
+        lr = learning_rate
     optimizer = optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
+        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(lr)
     )
     M = Xu.shape[0]
     dt = theta0.dtype
@@ -288,45 +312,66 @@ def fit_kin40k_fast(
 
     grad_fn = jax.grad(objective, has_aux=True)
 
+    B = X_batched.shape[0]
+    groups = max(1, min(stats_refreshes, B))
+    gsz = B // groups
+    Xg = X_batched[: groups * gsz].reshape(groups, gsz * X_batched.shape[1], -1)
+    yg = y_batched[: groups * gsz].reshape(groups, gsz * X_batched.shape[1])
+    Xbg = X_batched[: groups * gsz].reshape(groups, gsz, *X_batched.shape[1:])
+    ybg = y_batched[: groups * gsz].reshape(groups, gsz, *y_batched.shape[1:])
+
     def epoch(carry, _):
-        _xi, _prec, cov64, theta, opt_state, kuu_inv = carry
-        # grand q(v) update from the PRIOR: the reference resets q(v) every
-        # epoch (regression_kin40k.ipynb cell 9), so epoch-end q(v) is exactly
-        # prior + Σ_batches messages at the current θ
-        Kall = kernel(theta, Xu, X).astype(acc_dt)  # (M, N) — one MXU Gram
-        # the Gram PRODUCT must be exact-PSD: computed in f32 its rounding
-        # error (~ε₃₂·λmax ≈ 1e2) swamps the prior's λmin and makes Λ
-        # indefinite, which blows up the Newton–Schulz inverse. f64 matmuls
-        # are cheap on this backend — only f64 *elementwise* chains are not.
-        xi = prior_v.xi.astype(acc_dt) + w_val * (Kall @ y.astype(acc_dt))
-        prec = sym(prior_v.prec.astype(acc_dt) + w_val * (Kall @ Kall.T))
-        # cold-start needs ~log2(κ)+10 ≈ 45 iterations (κ(Λ) ~ 1e10); the
-        # warm carry makes later epochs converge in the first few
-        cov64 = spd_inverse(prec, warm=cov64, iters=45)
-        mu64 = ir_solve(prec, xi, cov64, rounds=2)
-        mu_v = mu64.astype(dt)
-        Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+        # q(v) resets to the PRIOR each epoch (regression_kin40k.ipynb cell 9)
+        # and accumulates group by group; θ-steps within a group use the
+        # freshest statistics (groups=1 → one grand update per epoch;
+        # groups=B → the reference's per-batch schedule)
+        xi0, prec0, cov64, theta, opt_state, kuu_inv = carry
 
-        def theta_step(c, batch):
-            th, os_, kw = c
-            Xb, yb = batch
-            g, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
-            upd, os_ = optimizer.update(g, os_, th)
-            return (optax.apply_updates(th, upd), os_, kw), None
+        def group_step(c, grp):
+            xi, prec, cov64, theta, opt_state, kuu_inv = c
+            Xg_, yg_, Xb_, yb_ = grp
+            Kall = kernel(theta, Xu, Xg_).astype(acc_dt)  # one MXU Gram
+            # Gram PRODUCT in f64 on the f32 Gram: exact-PSD (f32 product
+            # rounding ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS)
+            xi = xi + w_val * (Kall @ yg_.astype(acc_dt))
+            prec = sym(prec + w_val * (Kall @ Kall.T))
+            # cold start needs ~log2(κ)+10 ≈ 45 iterations (κ(Λ) ~ 1e10);
+            # the warm carry converges in the first few thereafter
+            cov64 = spd_inverse(prec, warm=cov64, iters=45)
+            mu64 = ir_solve(prec, xi, cov64, rounds=2)
+            mu_v = mu64.astype(dt)
+            Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
 
-        (theta, opt_state, kuu_inv), _ = jax.lax.scan(
-            theta_step, (theta, opt_state, kuu_inv), (X_batched, y_batched)
+            def theta_step(tc, batch):
+                th, os_, kw = tc
+                Xb, yb = batch
+                g, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
+                upd, os_ = optimizer.update(g, os_, th)
+                return (optax.apply_updates(th, upd), os_, kw), None
+
+            (theta, opt_state, kuu_inv), _ = jax.lax.scan(
+                theta_step, (theta, opt_state, kuu_inv), (Xb_, yb_)
+            )
+            return (xi, prec, cov64, theta, opt_state, kuu_inv), None
+
+        c0 = (prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+              cov64, theta, opt_state, kuu_inv)
+        (xi, prec, cov64, theta, opt_state, kuu_inv), _ = jax.lax.scan(
+            group_step, c0, (Xg, yg, Xbg, ybg)
         )
         return (xi, prec, cov64, theta, opt_state, kuu_inv), None
 
-    carry0 = (
-        prior_v.xi.astype(acc_dt),
-        prior_v.prec.astype(acc_dt),
-        jnp.zeros((M, M), acc_dt),
-        theta0,
-        optimizer.init(theta0),
-        jnp.zeros((M, M), dt),
-    )
+    if resume_state is None:
+        carry0 = (
+            prior_v.xi.astype(acc_dt),
+            prior_v.prec.astype(acc_dt),
+            jnp.zeros((M, M), acc_dt),
+            theta0,
+            optimizer.init(theta0),
+            jnp.zeros((M, M), dt),
+        )
+    else:
+        carry0 = resume_state
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
     xi, prec, cov64, theta, _, _ = carry
-    return theta, MvGaussianNat(xi, prec), cov64
+    return theta, MvGaussianNat(xi, prec), cov64, carry

@@ -236,3 +236,9 @@ def sum_diagonal_blocks(V: jax.Array, M: int) -> jax.Array:
     (reference: sum_diagonal_M, derivative_helper.jl:119-122)."""
     D = V.shape[1]
     return jnp.einsum("imi->m", V.reshape(D, M, D))
+
+
+def trace_blocks(Rv: jax.Array, D: int, M: int) -> jax.Array:
+    """(D,D) matrix of block traces: out[i,j] = tr(Rv_block[i,j])
+    (reference: trace_blkmatrix, derivative_helper.jl:125-127)."""
+    return jnp.einsum("imjm->ij", Rv.reshape(D, M, D, M))

@@ -129,3 +129,18 @@ def pendulum_inducing():
     xu1 = np.linspace(-2, 2, len(xu2) // 2)
     xu1 = np.concatenate([xu1[::-1], xu1 + 1e-5])
     return np.stack([xu1, xu2], axis=1)
+
+
+def co2(root: str = REFERENCE_ROOT):
+    """Mauna-Loa CO₂ series (reference: data/co2data.csv — used by legacy
+    exploratory notebooks only; provided for completeness)."""
+    raw = np.genfromtxt(os.path.join(root, "data", "co2data.csv"),
+                        delimiter=",", skip_header=1)
+    return raw
+
+
+def btc_usd(root: str = REFERENCE_ROOT):
+    """BTC-USD daily series (reference: BTC-USD.csv — legacy notebooks)."""
+    raw = np.genfromtxt(os.path.join(root, "BTC-USD.csv"),
+                        delimiter=",", skip_header=1, usecols=(1, 2, 3, 4, 6))
+    return raw
