@@ -19,7 +19,7 @@ import json
 import sys
 import time
 
-EPOCHS = 1000
+EPOCHS = 500
 REF_SECONDS_PER_EPOCH = 12600.0 / 500.0  # Julia reference wall-clock rate
 REF_SMSE_SGP = 0.083431
 REF_SMSE_VSGP = 0.087478
@@ -35,7 +35,7 @@ def main():
 
     speedup = REF_SECONDS_PER_EPOCH * EPOCHS / result["seconds"]
     out = {
-        "metric": "kin40k_train_wallclock_1000epochs",
+        "metric": "kin40k_train_wallclock_500epochs",
         "value": round(result["seconds"], 3),
         "unit": "s",
         "vs_baseline": round(speedup, 1),

@@ -36,7 +36,8 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 
 def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         n_train: int = 10_000, dtype=None, seed: int = 1, faithful: bool = False,
-        learning_rate: float = 0.001, warm_timing: bool = False, verbose: bool = True):
+        learning_rate: float = 0.001, stats_refreshes: int = 4,
+        warm_timing: bool = False, verbose: bool = True):
     data = kin40k()
     if dtype is None:
         dtype = jnp.float64 if (faithful or "--f64" in sys.argv) else jnp.float32
@@ -59,29 +60,47 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
     prior_v = MvGaussianNat(jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype) / 50.0)
     w_val = 1e4
 
+    def _chunked(step_fn, chunk):
+        # chunked + retried: long single executions hit the tunnel RPC
+        # deadline, and the device link occasionally faults transiently;
+        # the carry state lives host-side so a chunk can simply be re-run
+        state = None
+        done = 0
+        out = None
+        while done < epochs:
+            e = min(chunk, epochs - done)
+            for attempt in range(3):
+                try:
+                    out = step_fn(e, state)
+                    jax.block_until_ready(out[0])
+                    break
+                except Exception:
+                    if attempt == 2:
+                        raise
+                    time.sleep(5)
+            state = out[-1]
+            done += e
+        return out
+
     def train():
         if faithful:
-            # chunked: long single executions hit the tunnel RPC deadline
-            state = None
-            done = 0
-            while done < epochs:
-                e = min(100, epochs - done)
-                theta, qv_nat, state = fit_kin40k(
+            theta, qv_nat, state = _chunked(
+                lambda e, st: fit_kin40k(
                     kernel, theta0, Xu, Xb, yb, prior_v, w_val, e,
-                    learning_rate=learning_rate, resume_state=state,
-                )
-                done += e
+                    learning_rate=learning_rate, resume_state=st,
+                ),
+                100,
+            )
             cov64 = None
         else:
-            state = None
-            done = 0
-            while done < epochs:
-                e = min(500, epochs - done)
-                theta, qv_nat, cov64, state = fit_kin40k_fast(
+            theta, qv_nat, cov64, state = _chunked(
+                lambda e, st: fit_kin40k_fast(
                     kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v, w_val, e,
-                    learning_rate=learning_rate, resume_state=state,
-                )
-                done += e
+                    learning_rate=learning_rate, stats_refreshes=stats_refreshes,
+                    resume_state=st,
+                ),
+                100,
+            )
         jax.block_until_ready(theta)
         return theta, qv_nat, cov64
 

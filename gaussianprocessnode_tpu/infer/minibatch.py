@@ -304,6 +304,11 @@ def fit_kin40k_fast(
     hi = jax.lax.Precision.HIGHEST
     kuu_jit = effective_jitter(dt)
 
+    # the θ-objective keeps the working dtype: with HIGHEST-precision
+    # contractions (see objectives / kernels.sqdist) the f32 gradient matches
+    # the f64 one — the convergence drag was TPU's bf16 default matmul passes
+    obj_dt = dt
+
     def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
         return neg_log_backwardmess_gram(
             th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
@@ -330,7 +335,7 @@ def fit_kin40k_fast(
         def group_step(c, grp):
             xi, prec, cov64, theta, opt_state, kuu_inv = c
             Xg_, yg_, Xb_, yb_ = grp
-            Kall = kernel(theta, Xu, Xg_).astype(acc_dt)  # one MXU Gram
+            Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
             # Gram PRODUCT in f64 on the f32 Gram: exact-PSD (f32 product
             # rounding ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS)
             xi = xi + w_val * (Kall @ yg_.astype(acc_dt))
@@ -339,8 +344,8 @@ def fit_kin40k_fast(
             # the warm carry converges in the first few thereafter
             cov64 = spd_inverse(prec, warm=cov64, iters=45)
             mu64 = ir_solve(prec, xi, cov64, rounds=2)
-            mu_v = mu64.astype(dt)
-            Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+            mu_v = mu64.astype(obj_dt)
+            Rv = (cov64 + jnp.outer(mu64, mu64)).astype(obj_dt)
 
             def theta_step(tc, batch):
                 th, os_, kw = tc
@@ -361,6 +366,7 @@ def fit_kin40k_fast(
         )
         return (xi, prec, cov64, theta, opt_state, kuu_inv), None
 
+    theta0 = theta0.astype(obj_dt)
     if resume_state is None:
         carry0 = (
             prior_v.xi.astype(acc_dt),
@@ -368,7 +374,7 @@ def fit_kin40k_fast(
             jnp.zeros((M, M), acc_dt),
             theta0,
             optimizer.init(theta0),
-            jnp.zeros((M, M), dt),
+            jnp.zeros((M, M), obj_dt),
         )
     else:
         carry0 = resume_state

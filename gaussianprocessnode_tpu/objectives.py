@@ -109,16 +109,17 @@ def neg_log_backwardmess_gram(
     carry the warm start. Mathematically identical to the reference objective
     (derivative_helper.jl:23-39) since ‖Uv k‖² = kᵀ Rv k.
     """
+    hi = jax.lax.Precision.HIGHEST
     Kuu = kernel.kuu(theta, Xu, jitter=kuu_jitter)
     Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters)
     kxx = kernel.diag(theta, X)
     Kux = kernel(theta, Xu, X)
-    S = Kux @ Kux.T
+    S = jnp.matmul(Kux, Kux.T, precision=hi)
     llh = (
         -0.5 * w * jnp.sum(kxx)
         + 0.5 * w * jnp.sum(Kuu_inv * S)
         - 0.5 * w * jnp.sum(Rv * S)
-        + w * jnp.dot(y, Kux.T @ mu_v)
+        + w * jnp.dot(y, jnp.matmul(Kux.T, mu_v, precision=hi))
     )
     return -llh, Kuu_inv
 

@@ -60,7 +60,9 @@ def sqdist(X: jax.Array, Z: jax.Array) -> jax.Array:
     """
     xx = jnp.sum(X * X, axis=-1)[:, None]
     zz = jnp.sum(Z * Z, axis=-1)[None, :]
-    cross = X @ Z.T
+    # full-precision cross term: TPU f32 dots default to bfloat16 passes
+    # (ε≈8e-3) — enough noise in d² to visibly slow hyperparameter learning
+    cross = jnp.matmul(X, Z.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(xx + zz - 2.0 * cross, 0.0)
 
 

@@ -183,8 +183,10 @@ def _spd_inverse_fwd(A, warm, iters):
 
 def _spd_inverse_bwd(iters, X, g):
     # inverse-function identity on the primal output: Ā = −A⁻¹ Ḡ A⁻¹ —
-    # two matmuls, no differentiation through the iteration
-    return (-X @ g @ X, jnp.zeros_like(X))
+    # two matmuls, no differentiation through the iteration (full precision:
+    # bf16 default passes add visible gradient noise)
+    mm = _partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return (-mm(mm(X, g), X), jnp.zeros_like(X))
 
 
 _spd_inverse_d.defvjp(_spd_inverse_fwd, _spd_inverse_bwd)
