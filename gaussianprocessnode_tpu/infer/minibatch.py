@@ -173,6 +173,7 @@ def fit_banana(
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
     a0, b0 = prior_w.shape, prior_w.rate
     batch = X_batched.shape[1]
 
@@ -195,8 +196,9 @@ def fit_banana(
         w_mean = carry.w_shape / carry.w_rate
         mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v, rounds=2).astype(dt)
         # forward f messages → probit tilted marginals (UniSGPnode.jl:96-104
-        # + the EP product)
-        f_fwd = Kux.T @ mu_v_prev
+        # + the EP product); full-precision products throughout (bf16 default
+        # passes destabilize the w-rate feedback loop)
+        f_fwd = jnp.matmul(Kux.T, mu_v_prev, precision=hi)
         f_var = jnp.full_like(f_fwd, 1.0 / w_mean.astype(dt))
         qf = probit_node.tilted_marginal_batch(f_fwd, f_var, yb)
         # q(v) update with pseudo-targets E[f]; PSD-exact f64 products
@@ -209,11 +211,13 @@ def fit_banana(
         # q(w) update carried across batches (rate in trace form,
         # UniSGPnode.jl:219-238: I1 = kxx − kᵀKuu⁻¹k, I2 = resid² + v_f + kᵀRv k)
         kuu_inv = carry.kuu_inv
-        I1 = jnp.maximum(kxx - jnp.sum(Kux * (kuu_inv @ Kux), axis=0), 0.0)
+        I1 = jnp.maximum(
+            kxx - jnp.sum(Kux * jnp.matmul(kuu_inv, Kux, precision=hi), axis=0), 0.0
+        )
         I2 = (
             qf.mean**2 + qf.var
-            - 2.0 * qf.mean * (Kux.T @ mu_v)
-            + jnp.sum(Kux * (Rv @ Kux), axis=0)
+            - 2.0 * qf.mean * jnp.matmul(Kux.T, mu_v, precision=hi)
+            + jnp.sum(Kux * jnp.matmul(Rv, Kux, precision=hi), axis=0)
         )
         # the carried q(w) is the next batch-model's PRIOR in the reference
         # (classification_banana.ipynb cell 9: shape/rate are fed back), so
