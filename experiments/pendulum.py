@@ -59,10 +59,11 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100, verbose: 
 
     optimizer = optax.adamax(0.002)
 
-    def vmp(theta, compute_fe=True):
+    def vmp(theta, init_state=None, compute_fe=True):
         return gpssm_vmp(
             kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
             prior_v, 100.0, jnp.eye(2), n_iters=n_iters, compute_fe=compute_fe,
+            init_state=init_state,
         )
 
     def hyper_objective(theta, y_means, qx_means, qx_covs, sumRv_W, mu_v, W):
@@ -74,9 +75,9 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100, verbose: 
     grad_fn = jax.grad(hyper_objective)
 
     @jax.jit
-    def epoch_fn(carry, _):
+    def epoch_fn(carry, vmp_state):
         theta, opt_state = carry
-        state, fe = vmp(theta)
+        state, fe = vmp(theta, init_state=vmp_state)
         # extract stats for the objective (reference cell 16)
         L = chol_lower(sym(state.prec_v))
         cov_v = sym(chol_solve(L, jnp.eye(M * D)))
@@ -97,15 +98,16 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100, verbose: 
         (theta, opt_state), _ = jax.lax.scan(
             adamax_step, (theta, opt_state), None, length=adamax_steps
         )
-        return (theta, opt_state), fe
+        return (theta, opt_state), (fe, state)
 
     t0 = time.time()
     theta = theta0
     opt_state = optimizer.init(theta0)
     fe_trace = []
     carry = (theta, opt_state)
+    vmp_state = None
     for ep in range(epochs):
-        carry, fe = epoch_fn(carry, None)
+        carry, (fe, vmp_state) = epoch_fn(carry, vmp_state)
         fe_trace.append(float(fe))
         if verbose and (ep % 25 == 0 or ep == epochs - 1):
             print(f"epoch {ep:4d}  FE={fe_trace[-1]:.2f}  θ={np.asarray(softplus(carry[0]))}",

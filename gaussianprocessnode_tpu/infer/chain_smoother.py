@@ -82,8 +82,14 @@ def gpssm_vmp(
     init_x_cov_scale: float = 50.0,
     n_iters: int = 10,
     compute_fe: bool = True,
+    init_state: "GPSSMState | None" = None,
 ):
-    """Run n_iters mean-field VMP sweeps; returns (GPSSMState, free_energy)."""
+    """Run n_iters mean-field VMP sweeps; returns (GPSSMState, free_energy).
+
+    ``init_state``: warm-start the mean-field state (e.g. from the previous
+    hyperopt epoch) instead of the reference's fresh initialization — an
+    incremental E-step that compensates for the slower per-iteration
+    propagation of Jacobi sweeps."""
     T, D = ys.shape
     M = Xu.shape[0]
     dt = ys.dtype
@@ -188,10 +194,13 @@ def gpssm_vmp(
         new_state = GPSSMState(new_means, new_covs, xi_v, prec_v, W_df, W_rate)
         return new_state, None
 
-    state0 = GPSSMState(
-        x_means0, x_covs0, prior_v.xi, prior_v.prec,
-        jnp.asarray(prior_W_df, dt), S0_inv,
-    )
+    if init_state is None:
+        state0 = GPSSMState(
+            x_means0, x_covs0, prior_v.xi, prior_v.prec,
+            jnp.asarray(prior_W_df, dt), S0_inv,
+        )
+    else:
+        state0 = init_state
     state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
 
     fe = jnp.asarray(0.0, dt)

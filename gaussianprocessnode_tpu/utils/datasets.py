@@ -144,3 +144,30 @@ def btc_usd(root: str = REFERENCE_ROOT):
     raw = np.genfromtxt(os.path.join(root, "BTC-USD.csv"),
                         delimiter=",", skip_header=1, usecols=(1, 2, 3, 4, 6))
     return raw
+
+
+def toy_sinc_reference(root: str = REFERENCE_ROOT):
+    """The reference's EXACT toy-regression draw (savefiles/*_toyregression.jld),
+    enabling end-to-end parity against SMSE 0.008132."""
+    from .jld import load_jld
+
+    d = os.path.join(root, "savefiles")
+    x = np.asarray(load_jld(os.path.join(d, "xtrain_toyregression.jld")))
+    y = np.asarray(load_jld(os.path.join(d, "ytrain_toyregression.jld")))
+    xt = np.asarray(load_jld(os.path.join(d, "xtest_toyregression.jld")))
+    yt = np.asarray(load_jld(os.path.join(d, "ytest_toyregression.jld")))
+    return Dataset(x[:, None], y, xt[:, None], yt)
+
+
+def toy_classification_reference(root: str = REFERENCE_ROOT):
+    """The reference's EXACT toy-classification draw
+    (savefiles/*_toyclassification.jld); its recorded result is 35 errors
+    against thresholded predictions on the 400-point grid."""
+    from .jld import load_jld
+
+    d = os.path.join(root, "savefiles")
+    x = np.asarray(load_jld(os.path.join(d, "xtrain_toyclassification.jld")))
+    y = np.asarray(load_jld(os.path.join(d, "ytrain_toyclassification.jld")))
+    xt = np.asarray(load_jld(os.path.join(d, "xtest_toyclassification.jld")))
+    yt = np.asarray(load_jld(os.path.join(d, "ytest_toyclassification.jld")))
+    return Dataset(x[:, None], y, xt[:, None], yt)
