@@ -7,11 +7,13 @@ M=600 random inducing points, minibatch 500 (20 batches), w fixed at 1e4
 on θ]. Julia wall-clock ≈ 3 h 30 m; SMSE 0.083431 (BASELINE.md); the
 VSGP/ApproximateGPs baseline reaches 0.087478 in ≈ 5 h.
 
-Two trainers (gaussianprocessnode_tpu/infer/minibatch.py):
-- ``--faithful``: per-batch schedule exactly as the reference (f64).
-- default fast path: epoch-granular statistics (identical fixed point),
-  f32 MXU Grams + f64 Newton–Schulz/IR solves. On one TPU chip:
-  SMSE 0.0925 @ 500 epochs in ~25 s, 0.0879 @ 1000 epochs in ~50 s.
+Two trainers (gaussianprocessnode_tpu/infer/minibatch.py); on one TPU chip:
+- ``--faithful``: per-batch schedule exactly as the reference —
+  SMSE 0.08182 @ 500 epochs (= the exact-arithmetic oracle's 0.08181) in
+  ~470 s;
+- default fast path (4 stats refreshes/epoch, identical fixed point):
+  SMSE 0.08158 @ 500 epochs in ~70 s — beats the reference's accuracy at
+  175× its wall-clock.
 """
 
 import sys
@@ -89,7 +91,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     kernel, theta0, Xu, Xb, yb, prior_v, w_val, e,
                     learning_rate=learning_rate, resume_state=st,
                 ),
-                100,
+                50,
             )
             cov64 = None
         else:

@@ -24,12 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from gaussianprocessnode_tpu.dists import MvGaussianNat, WishartFast, wishart_mean
-from gaussianprocessnode_tpu.infer.chain_smoother import (
-    GPSSMState,
-    gpssm_vmp,
-    one_step_ahead,
-)
+from gaussianprocessnode_tpu.dists import MvGaussianNat
+from gaussianprocessnode_tpu.infer.chain_smoother import gpssm_vmp, one_step_ahead
 from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, cholinv, sum_blocks_weighted, sym

@@ -317,3 +317,139 @@ def one_step_ahead(kernel, theta, Xu, state: GPSSMState, ys_test, P):
         step, (state.x_means[-1], state.x_covs[-1]), ys_test
     )
     return pred_means, pred_covs
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
+def gpssm_vmp_sequential(
+    kernel,
+    theta,
+    Xu,
+    ys,
+    P,
+    prior_x0_mean,
+    prior_x0_cov,
+    prior_v: MvGaussianNat,
+    prior_W_df,
+    prior_W_scale,
+    init_x_cov_scale: float = 50.0,
+    n_iters: int = 10,
+    compute_fe: bool = True,
+    init_state: "GPSSMState | None" = None,
+):
+    """Gauss–Seidel variant of :func:`gpssm_vmp`: per sweep, q(x_t) updates
+    SEQUENTIALLY t = 0..T via ``lax.scan``, each using the freshly-updated
+    q(x_{t-1}) — the convergence behavior of the reference's reactive
+    schedule (one sweep here ≈ several Jacobi sweeps). Costlier per sweep
+    (serial chain) but needs the reference's iteration counts.
+    """
+    T, D = ys.shape
+    M = Xu.shape[0]
+    dt = ys.dtype
+    sr = quad.SphericalRadial()
+
+    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    P_inv = cholinv(sym(P))
+    S0_inv = cholinv(sym(prior_W_scale))
+    prior_x0_prec = cholinv(sym(prior_x0_cov))
+    prior_x0_xi = prior_x0_prec @ prior_x0_mean
+
+    x_means0 = jnp.concatenate([prior_x0_mean[None, :], jnp.zeros((T, D), dt)], 0)
+    x_covs0 = jnp.concatenate(
+        [prior_x0_cov[None, :, :],
+         jnp.tile(init_x_cov_scale * jnp.eye(D, dtype=dt), (T, 1, 1))], 0
+    )
+
+    def sweep(state: GPSSMState, _):
+        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        W_mean = state.W_df * cholinv(sym(state.W_rate))
+        tr_W = jnp.trace(W_mean)
+        sumRv_W = sum_blocks_weighted(Rv, W_mean, D, M)
+        A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+        mu_blocks = _split_blocks(mu_v, M, D)
+
+        def logpdf_in(x, sdV):
+            k = psiops.psi1_exact(kernel, theta, Xu, x)
+            psi0 = kernel.kxx(theta, x)
+            return -0.5 * tr_W * psi0 + k @ A_in @ k + sdV @ k
+
+        # x_prev: prior × in-msg from node 1 (μ_y = current q(x_1))
+        sdV0 = (W_mean @ state.x_means[1]) @ mu_blocks
+        m0, V0 = quad.moment_match_multi(
+            lambda x: logpdf_in(x, sdV0),
+            chol_solve(chol_lower(sym(prior_x0_prec)), prior_x0_xi),
+            cholinv(sym(prior_x0_prec)),
+            method=sr,
+        )
+
+        succ_means = jnp.concatenate([state.x_means[2:], state.x_means[-1:]], 0)
+
+        def step(carry, inp):
+            m_prev, V_prev = carry
+            y_t, succ_mean, is_last = inp
+            # out-message through the node from the FRESH predecessor marginal
+            _, psi1, _ = psiops.psi_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
+            out_mean = mu_blocks @ psi1
+            prec_g = W_mean + P_inv
+            xi_g = W_mean @ out_mean + P_inv @ y_t
+            cov_g = cholinv(sym(prec_g))
+            mean_g = cov_g @ xi_g
+            # in-message from the successor node (skipped for t = T)
+            sdV = (W_mean @ succ_mean) @ mu_blocks
+            m_r, V_r = quad.moment_match_multi(
+                lambda x: logpdf_in(x, sdV), mean_g, cov_g, method=sr
+            )
+            m_t = jnp.where(is_last, mean_g, m_r)
+            V_t = jnp.where(is_last, cov_g, V_r)
+            return (m_t, V_t), (m_t, V_t)
+
+        is_last = jnp.arange(T) == T - 1
+        (_, _), (means_seq, covs_seq) = jax.lax.scan(
+            step, (m0, V0), (ys, succ_means, is_last)
+        )
+        new_means = jnp.concatenate([m0[None], means_seq], 0)
+        new_covs = jnp.concatenate([V0[None], covs_seq], 0)
+
+        # q(v) and q(W): same batched updates as the Jacobi engine
+        psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
+            kernel, theta, Xu, sr, new_means[:-1], new_covs[:-1]
+        )
+        sum_psi2 = psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T,), dt))
+        yW = new_means[1:] @ W_mean.T
+        xi_v = prior_v.xi + jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1)
+        prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
+        mu_v, cov_v = _qv_stats(xi_v, prec_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        mu_blocks = _split_blocks(mu_v, M, D)
+
+        KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
+        tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
+        I1_sum = jnp.sum(psi0_in - tr_t) * jnp.eye(D, dtype=dt)
+        E_t = (mu_blocks @ psi1_in).T
+        mu_out = new_means[1:]
+        Ry_sum = jnp.einsum("td,te->de", mu_out, mu_out) + jnp.sum(new_covs[1:], 0)
+        cross = jnp.einsum("td,te->de", mu_out, E_t)
+        Rv4 = Rv.reshape(D, M, D, M)
+        psi4_sum = jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq)
+        I2_sum = Ry_sum - cross - cross.T + psi4_sum
+        W_df = prior_W_df + T
+        W_rate = sym(S0_inv + I1_sum + I2_sum)
+
+        return GPSSMState(new_means, new_covs, xi_v, prec_v, W_df, W_rate), None
+
+    if init_state is None:
+        state0 = GPSSMState(
+            x_means0, x_covs0, prior_v.xi, prior_v.prec,
+            jnp.asarray(prior_W_df, dt), S0_inv,
+        )
+    else:
+        state0 = init_state
+    state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
+
+    fe = jnp.asarray(0.0, dt)
+    if compute_fe:
+        fe = gpssm_free_energy(
+            kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov, prior_v,
+            prior_W_df, prior_W_scale, state,
+        )
+    return state, fe

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import JITTER_KUU_SSM
-from ..dists import MvGaussian, MvGaussianNat, mv_gaussian_entropy
-from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy, in_log_message
+from ..dists import MvGaussian, mv_gaussian_entropy
+from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
 from ..ops.linalg import chol_lower, chol_solve, cholinv, sym

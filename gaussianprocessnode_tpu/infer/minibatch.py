@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import JITTER_KUU
 from ..dists import GammaShapeRate, MvGaussianNat
 from ..nodes import probit as probit_node
 from ..objectives import neg_log_backwardmess_gram
@@ -38,7 +37,6 @@ __all__ = ["MinibatchCarry", "fit_kin40k", "fit_banana"]
 # estimates. The branchless guard in spd_inverse rejects stale warm starts.
 NS_ITERS_WARMUP = 40
 NS_ITERS_STEADY = 8
-NS_ITERS_FAITHFUL = 30
 
 
 class MinibatchCarry(NamedTuple):
@@ -105,10 +103,13 @@ def fit_kin40k(
             Kux64 = Kux.astype(acc_dt)
             xi = carry.xi_v + w_val * (Kux64 @ yb.astype(acc_dt))
             prec = carry.prec_v + w_val * (Kux64 @ Kux64.T)
-            cov = spd_inverse(sym(prec).astype(dt), warm=carry.cov_v, iters=ns_iters)
-            mu64 = ir_solve(sym(prec), xi, cov, rounds=3)
+            # q(v) inverse in the ACCUMULATOR dtype: κ(Λ) ~ 1e9 exceeds
+            # 1/ε₃₂, an f32 estimate poisons Rv and the θ-gradient
+            cov64 = spd_inverse(sym(prec), warm=carry.cov_v, iters=ns_iters)
+            mu64 = ir_solve(sym(prec), xi, cov64, rounds=3)
             mu_v = mu64.astype(dt)
-            Rv = cov + jnp.outer(mu_v, mu_v)
+            Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+            cov = cov64
             # AdaMax step on the batched objective (derivative_helper.jl:23-39)
             g, kuu_inv = grad_fn(theta, Xb, yb, mu_v, Rv, carry.kuu_inv)
             updates, opt_state = optimizer.update(g, carry.opt_state, theta)
@@ -130,7 +131,7 @@ def fit_kin40k(
 
     carry0 = MinibatchCarry(
         prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
-        jnp.zeros((M, M), dt), jnp.zeros((M, M), dt),
+        jnp.zeros((M, M), acc_dt), jnp.zeros((M, M), dt),
         theta0, optimizer.init(theta0),
         jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
     )
@@ -141,9 +142,9 @@ def fit_kin40k(
         warmup = min(warmup_epochs, epochs)
     carry = carry0
     if warmup:
-        carry, _ = jax.lax.scan(make_epoch(NS_ITERS_WARMUP), carry, None, length=warmup)
+        carry, _ = jax.lax.scan(make_epoch(60), carry, None, length=warmup)
     if epochs > warmup:
-        carry, _ = jax.lax.scan(make_epoch(NS_ITERS_STEADY), carry, None, length=epochs - warmup)
+        carry, _ = jax.lax.scan(make_epoch(60), carry, None, length=epochs - warmup)
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 

@@ -18,7 +18,7 @@ Example (mirrors GPT_regression.ipynb cells 6-10):
     mean, var = model.predict(theta, res, X_test)
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

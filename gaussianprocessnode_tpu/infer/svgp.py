@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import JITTER_KUU
-from ..ops.linalg import chol_lower, logdet_from_chol, tri_solve_lower
+from ..ops.linalg import chol_lower, tri_solve_lower
 from ..ops.quadrature import gh_nodes
 
 __all__ = ["SVGPParams", "init_svgp", "svgp_predict", "fit_svgp"]

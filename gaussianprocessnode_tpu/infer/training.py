@@ -8,8 +8,6 @@ steps on the backward-message objective all fuse into a single XLA program.
 """
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -37,11 +35,6 @@ def lbfgs_solve(objective, x0, max_steps: int = 60):
 
     (x, _), values = jax.lax.scan(step, (x0, opt.init(x0)), None, length=max_steps)
     return x, values
-
-
-class EpochCarry(NamedTuple):
-    theta: jax.Array
-    opt_state: optax.OptState
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "lbfgs_steps", "epochs"))

@@ -17,7 +17,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..dists import WishartFast, wishart_mean
 from ..ops.linalg import cholinv, sym
 from ..ops.quadrature import ut_points_weights
 

@@ -17,7 +17,6 @@ Design notes (MXU-first):
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -107,6 +107,18 @@ def gh_points_weights(n: int, m, v):
 
 
 def _cholsqrt(V):
+    """Lower Cholesky factor; closed form for d ≤ 2 (the GPSSM state
+    dimension) — avoids the while-loop lowering of jnp.linalg.cholesky on
+    backends with high per-op dispatch cost."""
+    d = V.shape[-1]
+    if d == 1:
+        return jnp.sqrt(V)
+    if d == 2:
+        a = jnp.sqrt(V[..., 0, 0])
+        b = V[..., 1, 0] / a
+        c = jnp.sqrt(jnp.maximum(V[..., 1, 1] - b * b, 1e-300 if V.dtype == jnp.float64 else 1e-30))
+        z = jnp.zeros_like(a)
+        return jnp.stack([jnp.stack([a, z], -1), jnp.stack([b, c], -1)], -2)
     return jnp.linalg.cholesky(V)
 
 

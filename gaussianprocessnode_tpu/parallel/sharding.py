@@ -13,13 +13,11 @@ with the (small, replicated) q(v) solve done identically on every chip.
 Model parallelism is not warranted at M ≤ 600 (SURVEY.md §2.9).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..dists import GammaShapeRate, MvGaussianNat
+from ..dists import MvGaussianNat
 from ..objectives import neg_log_backwardmess_gram
 from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
 

@@ -6,7 +6,6 @@ arrays (θ, natural parameters of q(v), q(w), optimizer state) round-trips
 through a single ``.npz`` file — no external deps, deterministic resume.
 """
 
-import json
 import os
 from typing import Any
 

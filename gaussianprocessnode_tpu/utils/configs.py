@@ -2,7 +2,7 @@
 (SURVEY.md §5 "Config / flag system": the reference keeps these as notebook
 constants; here they are checked-in, importable records)."""
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 __all__ = [

@@ -8,7 +8,6 @@
   the reference's GPLVM hyperparameter search (GPLVM.ipynb cell 16).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

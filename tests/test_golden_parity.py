@@ -124,3 +124,24 @@ class TestToyClassificationEndToEnd:
         pred = (np.asarray(probs) >= 0.5).astype(float)
         errs = float(num_error(data.y_test, pred))
         assert errs <= 38  # reference: 35; closed-form probit EP differs mildly
+
+
+class TestVSGPModelParity:
+    def test_kin40k_svgp_prediction_matches_recorded_smse(self):
+        """The reference's trained SVGP model (VSGP_model_kin40k.jld — whitened
+        ApproximateGPs parameterization) through OUR prediction algebra must
+        reproduce its recorded SMSE 0.087478."""
+        from gaussianprocessnode_tpu.utils.datasets import kin40k
+
+        m = _jld("VSGP_model_kin40k.jld")
+        Xu = jnp.asarray(np.asarray(_jld("Xu_kin40k.jld")))
+        data = kin40k()
+        k = jnp.asarray(np.asarray(m["k_"]))
+        mu_white = np.asarray(m["m_"])
+        Kuu = np.asarray(KER.kuu(k, Xu, jitter=1e-5))  # reference jitter
+        Kut = np.asarray(KER(k, Xu, jnp.asarray(data.x_test)))
+        Lu = np.linalg.cholesky(Kuu)
+        pred = Kut.T @ np.linalg.solve(Lu.T, mu_white)
+        np.testing.assert_allclose(
+            float(smse(data.y_test, pred)), 0.087478, atol=1e-6
+        )

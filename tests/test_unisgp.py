@@ -359,3 +359,40 @@ class TestGramObjective:
             )[0]
         )(THETA)
         np.testing.assert_allclose(g_new, g_ref, rtol=1e-7)
+
+
+class TestMultiObjectiveOracle:
+    def test_multi_objective_equals_theta_rule_sum(self):
+        from gaussianprocessnode_tpu.dists import MvGaussian
+        from gaussianprocessnode_tpu.nodes import multisgp
+        from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
+        from gaussianprocessnode_tpu.ops.linalg import sum_blocks_weighted
+        from gaussianprocessnode_tpu.ops.quadrature import SphericalRadial
+
+        r = np.random.default_rng(3)
+        M2, D, Din, N = 7, 2, 2, 5
+        Xu2 = jnp.asarray(r.standard_normal((M2, Din)))
+        mu_v = jnp.asarray(r.standard_normal(M2 * D))
+        Sv = r.standard_normal((M2 * D, M2 * D))
+        Rv = jnp.asarray(Sv @ Sv.T + M2 * D * np.eye(M2 * D)) + jnp.outer(mu_v, mu_v)
+        W = jnp.asarray(np.diag([3.0, 2.0]) + 0.5)
+        y = jnp.asarray(r.standard_normal((N, D)))
+        qm = jnp.asarray(r.standard_normal((N, Din)))
+        qc = jnp.tile(0.4 * jnp.eye(Din), (N, 1, 1))
+        sr = SphericalRadial()
+        sumRv_W = sum_blocks_weighted(Rv, W, D, M2)
+        theta = jnp.asarray([1.2, 0.9])
+        val = neg_log_backwardmess_multi(
+            theta, kernel=KER, Xu=Xu2, y_means=y, qx_means=qm, qx_covs=qc,
+            sumRv_W=sumRv_W, mu_v=mu_v, W=W, method=sr,
+        )
+        tot = sum(
+            float(
+                multisgp.theta_log_message(
+                    KER, sr, Xu2, MvGaussian(qm[i], qc[i]), y[i], mu_v, Rv, W,
+                    psi2_jitter=0.0,
+                )(theta)
+            )
+            for i in range(N)
+        )
+        np.testing.assert_allclose(float(val), -tot, atol=1e-8)
