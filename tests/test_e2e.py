@@ -158,3 +158,29 @@ class TestCheckpoint:
         loaded = load_pytree(p, tree)
         np.testing.assert_allclose(loaded["theta"], tree["theta"])
         np.testing.assert_allclose(loaded["nat"].prec, tree["nat"].prec)
+
+
+class TestSequentialSmoother:
+    def test_matches_jacobi_fixed_point(self):
+        from gaussianprocessnode_tpu.infer.chain_smoother import (
+            gpssm_vmp,
+            gpssm_vmp_sequential,
+        )
+        from gaussianprocessnode_tpu.ops.kernels import invsoftplus
+
+        x_state, y_obs, Q, P, dt = pendulum()
+        n = 100
+        y_train = jnp.asarray(y_obs[:n])
+        Xu = jnp.asarray(pendulum_inducing())
+        M, D = Xu.shape[0], 2
+        theta = invsoftplus(jnp.asarray([1.0, 2.0, 2.0]))
+        prior_v = MvGaussianNat(jnp.zeros(M * D), jnp.eye(M * D) / 50.0)
+        args = (KERNEL, theta, Xu, y_train, jnp.asarray(P), jnp.asarray([1.6, 0.0]),
+                0.1 * jnp.eye(2), prior_v, 100.0, jnp.eye(2))
+        st_j, fe_j = gpssm_vmp(*args, n_iters=60)
+        st_s, fe_s = gpssm_vmp_sequential(*args, n_iters=40)
+        # both engines approach the same mean-field fixed point
+        np.testing.assert_allclose(
+            np.asarray(st_s.x_means), np.asarray(st_j.x_means), atol=0.05
+        )
+        assert abs(float(fe_s) - float(fe_j)) < 10.0
