@@ -10,6 +10,11 @@ This port: 124 errors / 9.54% in ~146 s (f32 default; --f64 for the f64 path,
 same accuracy).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -10,6 +10,11 @@ hyperopt ≈ 15 min Julia. Here we report FE and a 1-NN latent-space
 classification accuracy as the quantitative proxy.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

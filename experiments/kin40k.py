@@ -16,6 +16,11 @@ Two trainers (gaussianprocessnode_tpu/infer/minibatch.py); on one TPU chip:
   175× its wall-clock.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

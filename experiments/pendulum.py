@@ -12,6 +12,11 @@ Reference results (BASELINE.md): smoothing SMSE state-1 0.005455 / state-2
 0.001077; hyperopt wall-clock 1615 s (CPU Julia).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

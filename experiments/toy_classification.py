@@ -9,6 +9,11 @@ Reference result: 35 errors / 8.75% on the 400-point test grid. Run on the
 reference's EXACT saved draw this port gets 37 errors / 9.25%.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

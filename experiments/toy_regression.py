@@ -12,6 +12,11 @@ draw (savefiles/*.jld) this port reproduces SMSE 0.008109 and
 θ = [0.036207, 0.539897] vs the recorded [0.0362, 0.5398].
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -8,6 +8,11 @@ Workloads and reference results (BASELINE.md):
 - banana, M=500, 1000 epochs AdaMax:                121 err / 9.31 %
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
