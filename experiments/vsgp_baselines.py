@@ -26,21 +26,52 @@ import numpy as np
 
 from gaussianprocessnode_tpu.infer.svgp import fit_svgp, init_svgp, svgp_predict
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus
-from gaussianprocessnode_tpu.utils.datasets import banana, kin40k, toy_classification, toy_sinc
+from gaussianprocessnode_tpu.utils.datasets import (
+    banana,
+    kin40k,
+    toy_classification_reference,
+    toy_sinc_reference,
+)
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error, smse
 
 KERNEL = Kernel("se", transform="softplus")
 
 
-def run_toy_regression(epochs: int = 8000, verbose: bool = True):
-    data = toy_sinc()
+def _saved_xu(name):
+    """Inducing inputs the reference loads from savefiles (e.g.
+    Regression_VSGP.ipynb cell 5 / cell 15: Xu_toyregression / Xu_kin40k).
+    The toy files store a Julia StepRangeLen (TwicePrecision ref/step):
+    element i (1-based) = (ref.hi+ref.lo) + (i − offset)·(step.hi+step.lo)."""
+    import os
+
+    from gaussianprocessnode_tpu.utils.datasets import REFERENCE_ROOT
+    from gaussianprocessnode_tpu.utils.jld import load_jld
+
+    raw = load_jld(os.path.join(REFERENCE_ROOT, "savefiles", name))
+    if isinstance(raw, dict) and "ref_1" in raw:
+        r = raw
+        ref = r["ref_1"]["hi_"] + r["ref_1"]["lo_"]
+        step = r["step_1"]["hi_"] + r["step_1"]["lo_"]
+        i = np.arange(1, int(r["len_"]) + 1)
+        xu = ref + (i - int(r["offset_"])) * step
+    else:
+        xu = np.asarray(raw)
+    return jnp.asarray(xu if xu.ndim == 2 else xu[:, None])
+
+
+def run_toy_regression(epochs: int = 5000, verbose: bool = True):
+    # the reference's EXACT data draw + saved inducing inputs + FIXED
+    # lik_noise = 0.01 (Regression_VSGP.ipynb cells 5-10) — all three are
+    # required to reproduce 0.004615
+    data = toy_sinc_reference()
     X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
-    M = 20
-    Xu = jnp.linspace(-4.0, 4.0, M)[:, None]
-    params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), M)
+    Xu = _saved_xu("Xu_toyregression.jld")
+    M = Xu.shape[0]
+    params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), M, noise=0.01)
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
-                      likelihood="gaussian", epochs=epochs, learning_rate=0.01)
+                      likelihood="gaussian", epochs=epochs, learning_rate=0.002,
+                      learn_noise=False)
     jax.block_until_ready(params.theta)
     mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test))
     score = float(smse(data.y_test, np.asarray(mean)))
@@ -51,10 +82,11 @@ def run_toy_regression(epochs: int = 8000, verbose: bool = True):
 
 
 def run_toy_classification(epochs: int = 3000, verbose: bool = True):
-    data = toy_classification()
+    # reference draw + saved inducing inputs (Classification_VSGP.ipynb cell 3)
+    data = toy_classification_reference()
     X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
-    M = 15
-    Xu = jnp.linspace(-5.0, 5.0, M)[:, None]
+    Xu = _saved_xu("Xu_toyclassification.jld")
+    M = Xu.shape[0]
     params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), M)
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
@@ -77,15 +109,17 @@ def run_kin40k(epochs: int = 2200, m_inducing: int = 512, batch: int = 500,
     dtype = jnp.float64
     Xtr = jnp.asarray(data.x_train, dtype)
     ytr = jnp.asarray(data.y_train, dtype)
-    rng = np.random.default_rng(1)
-    Xu = jnp.asarray(data.x_train[rng.permutation(10_000)[:m_inducing]], dtype)
+    # the reference's saved M=512 inducing set + fixed lik_noise = 0.01
+    # (Regression_VSGP.ipynb cells 15-19)
+    Xu = _saved_xu("Xu_kin40k.jld").astype(dtype)
+    m_inducing = Xu.shape[0]
     B = len(ytr) // batch
     Xb = Xtr[: B * batch].reshape(B, batch, -1)
     yb = ytr[: B * batch].reshape(B, batch)
-    params = init_svgp(invsoftplus(jnp.ones(9, dtype)), m_inducing, dtype)
+    params = init_svgp(invsoftplus(jnp.ones(9, dtype)), m_inducing, dtype, noise=0.01)
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, Xb, yb, len(ytr),
-                      likelihood="gaussian", epochs=epochs)
+                      likelihood="gaussian", epochs=epochs, learn_noise=False)
     jax.block_until_ready(params.theta)
     train_s = time.time() - t0
     mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test, dtype))
@@ -100,8 +134,9 @@ def run_banana(epochs: int = 1000, m_inducing: int = 500, batch: int = 200,
                verbose: bool = True):
     data = banana()
     X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
-    rng = np.random.default_rng(1)
-    Xu = jnp.asarray(data.x_train[rng.permutation(len(y))[:m_inducing]])
+    # the reference's saved M=500 inducing set (Classification_VSGP cell 12)
+    Xu = _saved_xu("Xu_banana.jld")
+    m_inducing = Xu.shape[0]
     B = len(y) // batch
     Xb = X[: B * batch].reshape(B, batch, -1)
     yb = y[: B * batch].reshape(B, batch)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import JITTER_KUU
-from ..ops.linalg import chol_lower, tri_solve_lower
+from ..ops.linalg import chol_lower, tri_solve_lower, tri_solve_upper
 from ..ops.quadrature import gh_nodes
 
 __all__ = ["SVGPParams", "init_svgp", "svgp_predict", "fit_svgp"]
@@ -33,39 +33,64 @@ class SVGPParams(NamedTuple):
     log_noise: jax.Array  # Gaussian likelihood: log observation variance
 
 
-def init_svgp(theta0, M, dtype=None):
+def init_svgp(theta0, M, dtype=None, noise: float | None = None,
+              raw_tril: bool = False):
+    """``noise``: initial Gaussian likelihood variance (the reference fixes
+    lik_noise = 0.01, Regression_VSGP.ipynb cell 8 — pass 0.01 and train with
+    ``learn_noise=False`` to match)."""
     dtype = dtype or theta0.dtype
+    log_noise = jnp.asarray(-2.0 if noise is None else float(jnp.log(noise)), dtype)
+    # raw diag = invsoftplus(1) so the EFFECTIVE factor _A_tril(A_raw) = I,
+    # matching the reference's A_init = I (Regression_VSGP cell 9)
+    diag0 = 1.0 if raw_tril else float(jnp.log(jnp.expm1(jnp.asarray(1.0))))
     return SVGPParams(
         theta=theta0,
         m_white=jnp.zeros(M, dtype),
-        A_raw=jnp.eye(M, dtype=dtype),
-        log_noise=jnp.asarray(-2.0, dtype),
+        A_raw=diag0 * jnp.eye(M, dtype=dtype),
+        log_noise=log_noise,
     )
 
 
-def _A_tril(A_raw):
-    """Lower-triangular variational factor with softplus-positive diagonal."""
+def _A_tril(A_raw, raw: bool = False):
+    """Lower-triangular variational factor. Default: softplus-positive
+    diagonal (safe under long optimization). ``raw=True`` uses the diagonal
+    as-is — the reference's parameterization (Regression_VSGP cell 8 takes
+    LowerTriangular(A) directly as the Cholesky factor), needed to replicate
+    its finite-step trajectories."""
+    if raw:
+        return jnp.tril(A_raw)
     A = jnp.tril(A_raw, -1)
     return A + jnp.diag(jax.nn.softplus(jnp.diagonal(A_raw)))
 
 
-def _marginal_f(kernel, params: SVGPParams, Xu, X):
-    """Predictive q(f) = N(mean, var) at inputs X (whitened algebra)."""
-    Kuu = kernel.kuu(params.theta, Xu, jitter=JITTER_KUU)
+def _marginal_f(kernel, params: SVGPParams, Xu, X, whitened: bool = True,
+                jitter: float = JITTER_KUU, raw_tril: bool = False):
+    """Predictive q(f) = N(mean, var) at inputs X.
+
+    whitened=True: q(u) = N(Lu m̃, Lu ÃÃᵀ Luᵀ) (free coords).
+    whitened=False: the reference's centered SVGPModel (Regression_VSGP cell 7)
+    q(u) = N(m, AAᵀ) directly in u-space."""
+    Kuu = kernel.kuu(params.theta, Xu, jitter=jitter)
     Lu = chol_lower(Kuu)
     Kux = kernel(params.theta, Xu, X)  # (M, N)
     Akx = tri_solve_lower(Lu, Kux)  # Lu⁻¹ Kux, (M, N)
-    mean = Akx.T @ params.m_white
-    A = _A_tril(params.A_raw)
-    SAk = A.T @ Akx  # (M, N)
+    A = _A_tril(params.A_raw, raw_tril)
     kxx = kernel.diag(params.theta, X)
+    if whitened:
+        mean = Akx.T @ params.m_white
+        SAk = A.T @ Akx  # (M, N)
+    else:
+        # B = Kuu⁻¹ Kux = Lu⁻ᵀ Akx;  mean = Bᵀ m;  cov term = ‖Aᵀ B‖² per col
+        B = tri_solve_upper(Lu.mT, Akx)
+        mean = B.T @ params.m_white
+        SAk = A.T @ B
     var = kxx - jnp.sum(Akx * Akx, axis=0) + jnp.sum(SAk * SAk, axis=0)
     return mean, jnp.maximum(var, 1e-12)
 
 
-def _kl_whitened(params: SVGPParams):
+def _kl_whitened(params: SVGPParams, raw_tril: bool = False):
     """KL(q(u)‖p(u)) in whitened coordinates: ½(‖m̃‖² + ‖Ã‖²_F − M − 2·log|Ã|)."""
-    A = _A_tril(params.A_raw)
+    A = _A_tril(params.A_raw, raw_tril)
     M = params.m_white.shape[0]
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(A)))
     return 0.5 * (
@@ -73,32 +98,60 @@ def _kl_whitened(params: SVGPParams):
     )
 
 
-def elbo_gaussian(kernel, params: SVGPParams, Xu, X, y, scale: float = 1.0):
+def _kl_centered(kernel, params: SVGPParams, Xu, jitter: float = JITTER_KUU,
+                 raw_tril: bool = False):
+    """KL(N(m, AAᵀ) ‖ N(0, Kuu)) for the centered parameterization:
+    ½(tr(Kuu⁻¹AAᵀ) + mᵀKuu⁻¹m − M − log|AAᵀ| + log|Kuu|)."""
+    A = _A_tril(params.A_raw, raw_tril)
+    M = params.m_white.shape[0]
+    Kuu = kernel.kuu(params.theta, Xu, jitter=jitter)
+    Lu = chol_lower(Kuu)
+    LiA = tri_solve_lower(Lu, A)
+    Lim = tri_solve_lower(Lu, params.m_white)
+    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(A)))
+    logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lu)))
+    return 0.5 * (
+        jnp.sum(LiA * LiA) + Lim @ Lim - M - logdet_S + logdet_K
+    )
+
+
+def elbo_gaussian(kernel, params: SVGPParams, Xu, X, y, scale: float = 1.0,
+                  whitened: bool = True, jitter: float = JITTER_KUU,
+                  raw_tril: bool = False):
     """Gaussian-likelihood ELBO (Regression_VSGP). ``scale`` reweights the
     likelihood term for minibatching (N_total / batch)."""
-    mean, var = _marginal_f(kernel, params, Xu, X)
+    mean, var = _marginal_f(kernel, params, Xu, X, whitened, jitter, raw_tril)
     noise = jnp.exp(params.log_noise)
     ll = -0.5 * (
         jnp.log(2.0 * jnp.pi * noise) + ((y - mean) ** 2 + var) / noise
     )
-    return scale * jnp.sum(ll) - _kl_whitened(params)
+    kl = (_kl_whitened(params, raw_tril) if whitened
+          else _kl_centered(kernel, params, Xu, jitter, raw_tril))
+    return scale * jnp.sum(ll) - kl
 
 
-def elbo_bernoulli(kernel, params: SVGPParams, Xu, X, y, scale: float = 1.0, n_gh: int = 20):
+def elbo_bernoulli(kernel, params: SVGPParams, Xu, X, y, scale: float = 1.0,
+                   n_gh: int = 20, whitened: bool = True,
+                   jitter: float = JITTER_KUU, raw_tril: bool = False):
     """Probit-Bernoulli ELBO via Gauss–Hermite (Classification_VSGP)."""
-    mean, var = _marginal_f(kernel, params, Xu, X)
+    mean, var = _marginal_f(kernel, params, Xu, X, whitened, jitter, raw_tril)
     z, w = gh_nodes(n_gh)
     s = 2.0 * y - 1.0
     pts = mean[:, None] + jnp.sqrt(var)[:, None] * z[None, :]
     ll = jax.scipy.stats.norm.logcdf(s[:, None] * pts) @ w
-    return scale * jnp.sum(ll) - _kl_whitened(params)
+    kl = (_kl_whitened(params, raw_tril) if whitened
+          else _kl_centered(kernel, params, Xu, jitter, raw_tril))
+    return scale * jnp.sum(ll) - kl
 
 
-def svgp_predict(kernel, params: SVGPParams, Xu, X):
-    return _marginal_f(kernel, params, Xu, X)
+def svgp_predict(kernel, params: SVGPParams, Xu, X, whitened: bool = True,
+                 jitter: float = JITTER_KUU, raw_tril: bool = False):
+    return _marginal_f(kernel, params, Xu, X, whitened, jitter, raw_tril)
 
 
-@partial(jax.jit, static_argnames=("kernel", "likelihood", "epochs"))
+@partial(jax.jit, static_argnames=(
+    "kernel", "likelihood", "epochs", "learn_noise", "whitened", "jitter",
+    "raw_tril"))
 def fit_svgp(
     kernel,
     params0: SVGPParams,
@@ -109,16 +162,27 @@ def fit_svgp(
     likelihood: str = "gaussian",
     epochs: int = 100,
     learning_rate: float = 0.002,
+    learn_noise: bool = True,
+    whitened: bool = True,
+    jitter: float = JITTER_KUU,
+    raw_tril: bool = False,
 ):
     """AdaMax on −ELBO over minibatches, one jitted scan
-    (reference: Regression_VSGP cells 7-10, Flux AdaMax on -elbo)."""
+    (reference: Regression_VSGP cells 7-10, Flux AdaMax on -elbo).
+    ``learn_noise=False`` fixes the Gaussian likelihood variance at its
+    initial value (the reference's lik_noise = 0.01 is a constant).
+    ``whitened=False`` optimizes the reference's centered q(u) = N(m, AAᵀ)
+    coordinates — needed to reproduce its finite-step trajectories exactly."""
     elbo = elbo_gaussian if likelihood == "gaussian" else elbo_bernoulli
     batch = X_batched.shape[1]
     scale = n_total / batch
     optimizer = optax.chain(optax.zero_nans(), optax.adamax(learning_rate))
 
     def loss(p, Xb, yb):
-        return -elbo(kernel, p, Xu, Xb, yb, scale=scale)
+        if not learn_noise:
+            p = p._replace(log_noise=jax.lax.stop_gradient(p.log_noise))
+        return -elbo(kernel, p, Xu, Xb, yb, scale=scale, whitened=whitened,
+                     jitter=jitter, raw_tril=raw_tril)
 
     grad_fn = jax.grad(loss)
 

@@ -55,14 +55,24 @@ def neg_log_backwardmess_uncertain(
     """Uncertain-input loss (reference: derivative_helper.jl:42-52):
 
         −Σᵢ [ w yᵢ⟨Ψ1ᵢ, μ_v⟩ − ½w (Ψ0ᵢ + tr(Ψ2ᵢ(UvᵀUv − Kuu⁻¹))) ]
+
+    The Kuu⁻¹ contraction is computed as ‖Lu⁻¹kₚ‖² (triangular solve), NOT
+    via the explicit inverse: near-duplicate inducing inputs make κ(Kuu)
+    ~1/jitter, where the inverse-form value AND its autodiff gradient are
+    pure rounding noise while the solve form stays exact (the reference's
+    explicit `inv(Kuu + 1e-12 I)` has the same pathology under ForwardDiff).
     """
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
-    A = Uv.T @ Uv - Kuu_inv
+    Lu = chol_lower(kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM))
     psi0, psi1, Kp, wq = psi_batch_expected_uni(kernel, theta, Xu, method, qx_means, qx_vars)
-    # Σᵢ tr(Ψ2ᵢ A) = Σ_{i,p} w_p kᵢₚᵀ A kᵢₚ
-    AK = jnp.einsum("mq,qnp->mnp", A, Kp)
-    tr_terms = jnp.einsum("mnp,mnp,p->n", Kp, AK, wq)
-    llh = jnp.sum(w * y * jnp.einsum("mn,m->n", psi1, mu_v) - 0.5 * w * (psi0 + tr_terms))
+    M = Kp.shape[0]
+    a = tri_solve_lower(Lu, Kp.reshape(M, -1)).reshape(Kp.shape)
+    tr_kuu = jnp.einsum("mnp,mnp,p->n", a, a, wq)
+    UK = jnp.einsum("qm,mnp->qnp", Uv, Kp)
+    tr_rv = jnp.einsum("qnp,qnp,p->n", UK, UK, wq)
+    llh = jnp.sum(
+        w * y * jnp.einsum("mn,m->n", psi1, mu_v)
+        - 0.5 * w * (psi0 + tr_rv - tr_kuu)
+    )
     return -llh
 
 
@@ -80,18 +90,22 @@ def neg_log_backwardmess_multi(
     M = Xu.shape[0]
     D = y_means.shape[1]
     tr_W = jnp.trace(W)
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    # solve form for the Kuu⁻¹ contraction — see neg_log_backwardmess_uncertain
+    Lu = chol_lower(kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM))
     psi0, psi1, Kp, wq = psi_batch_expected_multi(kernel, theta, Xu, method, qx_means, qx_covs)
     # sumdiagV_i = Σ_d (μ_v yᵢᵀ W)[block d, d] = Σ_d μ_v^(d) (yᵢᵀW)_d : (N, M)
     mu_blocks = mu_v.reshape(D, M)
     yW = y_means @ W  # (N, D)
     sumdiagV = yW @ mu_blocks  # (N, M)
     lin_terms = jnp.einsum("nm,mn->n", sumdiagV, psi1)
-    # trace terms: ⟨A, Ψ2ᵢ⟩ with A = tr(W)·Kuu⁻¹·(−1)… combine both Ψ2 contractions
-    A = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W  # ⟨A,Ψ2ᵢ⟩ enters +; see below
-    AK = jnp.einsum("mq,qnp->mnp", A, Kp)
-    tr_terms = jnp.einsum("mnp,mnp,p->n", Kp, AK, wq)
-    llh = jnp.sum(-0.5 * tr_W * psi0 + tr_terms + lin_terms)
+    # ⟨Kuu⁻¹, Ψ2ᵢ⟩ = Σ_p w_p ‖Lu⁻¹ kᵢₚ‖²
+    a = tri_solve_lower(Lu, Kp.reshape(M, -1)).reshape(Kp.shape)
+    tr_kuu = jnp.einsum("mnp,mnp,p->n", a, a, wq)
+    AK = jnp.einsum("mq,qnp->mnp", sumRv_W, Kp)
+    tr_rv = jnp.einsum("mnp,mnp,p->n", Kp, AK, wq)
+    llh = jnp.sum(
+        -0.5 * tr_W * (psi0 - tr_kuu) + lin_terms - 0.5 * tr_rv
+    )
     return -llh
 
 

