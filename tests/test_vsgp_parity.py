@@ -1,0 +1,101 @@
+"""VSGP baseline parity vs the reference's recorded numbers and the analytic
+collapsed (Titsias) bound.
+
+Reference: experiments/Regression_VSGP.ipynb (toy cells 5-13) and
+Classification_VSGP.ipynb (toy cells 3-10). The toy runs use the reference's
+EXACT saved data draw and inducing inputs (savefiles/*_toyregression.jld,
+Xu_toy*.jld) so the numbers are directly comparable.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussianprocessnode_tpu.infer.svgp import (
+    collapsed_neg_elbo,
+    collapsed_predict,
+    fit_svgp,
+    init_svgp,
+    svgp_predict,
+)
+from gaussianprocessnode_tpu.infer.training import lbfgs_solve
+from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
+from gaussianprocessnode_tpu.utils.datasets import (
+    toy_classification_reference,
+    toy_sinc_reference,
+)
+from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error, smse
+
+KERNEL = Kernel("se", transform="softplus")
+
+
+def _toy_xu(name):
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    from vsgp_baselines import _saved_xu
+
+    return _saved_xu(name)
+
+
+class TestToyRegressionVSGP:
+    def test_reference_budget_reaches_dip_regime(self):
+        """At the reference's exact budget (5000 AdaMax(0.002) steps, fixed
+        lik_noise=0.01) the run sits in the same mid-trajectory dip as the
+        recorded 0.004615 (ours ≈ 0.0054)."""
+        data = toy_sinc_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        Xu = _toy_xu("Xu_toyregression.jld")
+        params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), Xu.shape[0], noise=0.01)
+        params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
+                          likelihood="gaussian", epochs=5000, learning_rate=0.002,
+                          learn_noise=False, jitter=1e-5)
+        mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test), jitter=1e-5)
+        score = float(smse(data.y_test, np.asarray(mean)))
+        assert score < 0.006  # ref 0.004615; converged optimum is 0.00883
+
+    def test_converged_run_matches_collapsed_bound(self):
+        """A long run converges to the analytic collapsed-bound optimum —
+        the parameterization-independent ground truth of the reference's own
+        model (proves 0.004615 is an early-stopping artifact)."""
+        data = toy_sinc_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        Xu = _toy_xu("Xu_toyregression.jld")
+        noise = 0.01
+
+        theta_opt, _ = lbfgs_solve(
+            lambda t: collapsed_neg_elbo(KERNEL, t, Xu, X, y, noise),
+            invsoftplus(jnp.asarray([1.0, 1.0])), max_steps=200,
+        )
+        mean_c = collapsed_predict(KERNEL, theta_opt, Xu, jnp.asarray(data.x_test), X, y, noise)
+        smse_c = float(smse(data.y_test, np.asarray(mean_c)))
+
+        params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), Xu.shape[0], noise=noise)
+        params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
+                          likelihood="gaussian", epochs=20000, learning_rate=0.002,
+                          learn_noise=False, jitter=1e-5)
+        mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test), jitter=1e-5)
+        smse_u = float(smse(data.y_test, np.asarray(mean)))
+
+        # uncollapsed training reaches the collapsed optimum (both ≈ 0.00883)
+        np.testing.assert_allclose(smse_u, smse_c, rtol=0.02)
+        np.testing.assert_allclose(
+            np.asarray(softplus(params.theta)), np.asarray(softplus(theta_opt)), rtol=0.02
+        )
+
+
+class TestToyClassificationVSGP:
+    def test_matches_reference_error_count(self):
+        """Reference: 34 errors / 8.5% (LBFGS). Ours reaches 35/8.75% with
+        AdaMax on the same saved draw — one grid point apart."""
+        data = toy_classification_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        Xu = _toy_xu("Xu_toyclassification.jld")
+        params = init_svgp(invsoftplus(jnp.asarray([1.0, 1.0])), Xu.shape[0])
+        params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
+                          likelihood="bernoulli", epochs=3000)
+        mean, var = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test))
+        probs = jax.scipy.stats.norm.cdf(mean / jnp.sqrt(1.0 + var))
+        pred = (np.asarray(probs) >= 0.5).astype(float)
+        assert float(num_error(data.y_test, pred)) <= 36  # ref 34, ours 35
