@@ -33,6 +33,8 @@ __all__ = [
     "ut_points_weights",
     "genut_points_weights_uni",
     "genut_points_weights_multi",
+    "genut_expectation_joint",
+    "genut_statistics_joint",
     "points_weights_uni",
     "points_weights_multi",
     "expect_uni",
@@ -349,3 +351,86 @@ def genut_expectation_uni(g, m, v, S=None, K=None):
     ut_approx.jl:19-26)."""
     pts, w = genut_points_weights_uni(m, v, S, K)
     return jnp.tensordot(w, jax.vmap(g)(pts), axes=1)
+
+
+# ---------------------------------------------------------------------------
+# GenUT over tuples of marginals (reference: ut_approx.jl:28-38, 93-112)
+# ---------------------------------------------------------------------------
+
+
+def _joint_from_marginals(marginals):
+    """Build the block-diagonal joint of independent marginals.
+
+    Each marginal is ``(m, V)`` or ``(m, V, S, K)`` with scalar or vector
+    ``m`` (S/K are raw central 3rd/4th moments; Gaussian defaults when
+    omitted). Returns (m, V, S, K, sizes) where ``sizes[i]`` is 0 for a
+    scalar marginal (so sigma-point slices are unpacked back to scalars, the
+    reference's ``__splitjoin``) and the marginal's dimension otherwise.
+    Equivalent of the sparse ``blockdiag`` joint in ut_approx.jl:28-38.
+    """
+    ms, Vs, Ss, Ks, sizes = [], [], [], [], []
+    for q in marginals:
+        m = jnp.asarray(q[0])
+        V = jnp.asarray(q[1])
+        scalar = m.ndim == 0
+        d = 1 if scalar else m.shape[0]
+        m1 = m.reshape(1) if scalar else m
+        V1 = V.reshape(1, 1) if V.ndim < 2 else V
+        if len(q) >= 4 and q[2] is not None:
+            S1 = jnp.asarray(q[2]).reshape(-1)
+            K1 = jnp.asarray(q[3]).reshape(-1)
+        else:
+            S1 = jnp.zeros((d,), m1.dtype)
+            K1 = 3.0 * jnp.diagonal(V1) ** 2  # Gaussian raw 4th central moment
+        ms.append(m1)
+        Vs.append(V1)
+        Ss.append(S1)
+        Ks.append(K1)
+        sizes.append(0 if scalar else d)
+    m = jnp.concatenate(ms)
+    V = jax.scipy.linalg.block_diag(*Vs)
+    S = jnp.concatenate(Ss)
+    K = jnp.concatenate(Ks)
+    return m, V, S, K, tuple(sizes)
+
+
+def _split_point(pt, sizes):
+    """Unpack one joint sigma point back into per-marginal args (the
+    reference's ``__splitjoin``): 0-size entries become scalars."""
+    parts = []
+    off = 0
+    for s in sizes:
+        d = max(s, 1)
+        piece = pt[off:off + d]
+        parts.append(piece[0] if s == 0 else piece)
+        off += d
+    return tuple(parts)
+
+
+def genut_expectation_joint(g, *marginals):
+    """E[g(x₁, …, x_k)] for INDEPENDENT marginals via GenUT sigma points of
+    the block-diagonal joint (reference: approximate_expectation tuple
+    overload, ut_approx.jl:28-38). ``g`` receives one positional argument per
+    marginal (scalars for scalar marginals)."""
+    m, V, S, K, sizes = _joint_from_marginals(marginals)
+    pts, w = genut_points_weights_multi(m, V, S, K)
+    vals = jax.vmap(lambda p: g(*_split_point(p, sizes)))(pts)
+    return jnp.tensordot(w, vals, axes=1)
+
+
+def genut_statistics_joint(g, *marginals, compute_cross: bool = True):
+    """Mixed-variate GenUT statistics propagation (reference:
+    unscented_statistics tuple overload, ut_approx.jl:93-112): propagate the
+    block-diagonal joint of the marginals through g and return
+    (m̃, Ṽ, S̃, K̃, C̃) of z = g(x₁, …, x_k) plus the joint-input/output
+    cross-covariance C̃ (used for statistical linearization)."""
+    m, V, S, K, sizes = _joint_from_marginals(marginals)
+    pts, w = genut_points_weights_multi(m, V, S, K)
+    gs = jax.vmap(lambda p: jnp.atleast_1d(g(*_split_point(p, sizes))))(pts)
+    mt = w @ gs
+    d = gs - mt
+    Vt = jnp.einsum("p,pi,pj->ij", w, d, d)
+    St = jnp.einsum("p,pi->i", w, d**3)
+    Kt = jnp.einsum("p,pi->i", w, d**4)
+    Ct = jnp.einsum("p,pi,pj->ij", w, pts - m, d) if compute_cross else None
+    return mt, Vt, St, Kt, Ct

@@ -283,6 +283,46 @@ class TestQuadrature:
         np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 3), mu3, rtol=1e-9)
         np.testing.assert_allclose(jnp.sum(w * (pts - m) ** 4), mu4, rtol=1e-9)
 
+    def test_genut_joint_expectation_mc_oracle(self):
+        # tuple-of-marginals overload (reference: ut_approx.jl:28-38):
+        # E[g(x, y)] for independent x ~ N (scalar), y ~ MvN(2) against a
+        # 200k-sample Monte-Carlo oracle (quadratic g → GenUT is exact)
+        mx, vx = 0.4, 0.6
+        my = jnp.asarray([0.2, -0.5])
+        Vy = random_psd(2, 0.3, seed=21)
+
+        def g(x, y):
+            return x * y[0] + x**2 - 0.5 * y[1] ** 2 + y @ y
+
+        val = quad.genut_expectation_joint(g, (mx, vx), (my, Vy))
+        rng = np.random.default_rng(5)
+        xs = mx + np.sqrt(vx) * rng.standard_normal(200_000)
+        ys = rng.multivariate_normal(np.asarray(my), np.asarray(Vy), 200_000)
+        mc = np.mean(xs * ys[:, 0] + xs**2 - 0.5 * ys[:, 1] ** 2
+                     + np.sum(ys * ys, axis=1))
+        np.testing.assert_allclose(float(val), mc, rtol=2e-2)
+
+    def test_genut_statistics_joint_mixed_variate(self):
+        # mixed-variate unscented_statistics (reference: ut_approx.jl:93-112):
+        # linear g through independent (scalar, 2-vector) marginals has exact
+        # closed-form transformed mean/cov and cross-covariance
+        mx, vx = -0.3, 0.8
+        my = jnp.asarray([1.0, 0.5])
+        Vy = random_psd(2, 0.25, seed=22)
+        A = jnp.asarray([[1.0, 2.0, -1.0], [0.5, 0.0, 3.0]])
+        b = jnp.asarray([0.1, -0.2])
+
+        def g(x, y):
+            z = jnp.concatenate([jnp.reshape(x, (1,)), y])
+            return A @ z + b
+
+        mt, Vt, St, Kt, Ct = quad.genut_statistics_joint(g, (mx, vx), (my, Vy))
+        m_joint = jnp.concatenate([jnp.asarray([mx]), my])
+        V_joint = jax.scipy.linalg.block_diag(jnp.asarray([[vx]]), Vy)
+        np.testing.assert_allclose(np.asarray(mt), np.asarray(A @ m_joint + b), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Vt), np.asarray(A @ V_joint @ A.T), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Ct), np.asarray(V_joint @ A.T), atol=1e-9)
+
     def test_moment_match_uni_conjugate(self):
         # product of two Gaussians has closed form
         m1, v1, m2, v2 = 0.5, 2.0, -0.3, 0.7
