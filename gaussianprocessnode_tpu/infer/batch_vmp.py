@@ -169,7 +169,7 @@ def regression_vmp(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe", "probit_product"))
 def classification_vmp(
     kernel,
     theta,
@@ -181,6 +181,7 @@ def classification_vmp(
     init_w: GammaShapeRate,
     n_iters: int = 30,
     compute_fe: bool = True,
+    probit_product: str = "exact",
 ) -> VMPResult:
     """VMP for probit classification with latent f (q(f)q(v)q(w) mean field).
 
@@ -188,7 +189,15 @@ def classification_vmp(
         forward fᵢ ~ N(Ψ1ᵢᵀμ_v, w̄⁻¹)   → tilted q(fᵢ) with the probit
         v-messages with μ_y = E[fᵢ]      → q(v), refresh Uv
         w-messages with (E[fᵢ], V[fᵢ])   → q(w)
+
+    ``probit_product``: "exact" = closed-form tilted moments (default);
+    "gh32" = the reference's ProbitMeta(32) Gauss–Hermite moment matching.
     """
+    tilted = (
+        probit_node.tilted_marginal_batch
+        if probit_product == "exact"
+        else partial(probit_node.tilted_marginal_gh_batch, n_gh=32)
+    )
     Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU)
     KuuL = chol_lower(Kuu)
     kxx, Kux = psi_batch_exact(kernel, theta, Xu, X)
@@ -203,7 +212,7 @@ def classification_vmp(
         w_mean = a_w / b_w
         f_fwd_mean = Kux.T @ mu_v
         f_fwd_var = jnp.full((N,), 1.0 / w_mean, dtype=f_fwd_mean.dtype)
-        qf = probit_node.tilted_marginal_batch(f_fwd_mean, f_fwd_var, y)
+        qf = tilted(f_fwd_mean, f_fwd_var, y)
         vmsg = unisgp.v_message_batch_exact(Kux, qf.mean, w_mean)
         nat = MvGaussianNat(prior_v.xi + vmsg.xi, prior_v.prec + vmsg.prec)
         mu_v, cov_v, Uv, _ = _qv_from_nat(nat)

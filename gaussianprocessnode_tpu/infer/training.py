@@ -73,7 +73,7 @@ def fit_regression(
     return theta, fe_trace, res
 
 
-@partial(jax.jit, static_argnames=("kernel", "n_iters", "lbfgs_steps", "epochs"))
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "lbfgs_steps", "epochs", "probit_product"))
 def fit_classification(
     kernel,
     theta0,
@@ -86,13 +86,17 @@ def fit_classification(
     epochs: int,
     n_iters: int = 30,
     lbfgs_steps: int = 60,
+    probit_product: str = "exact",
 ):
     """Toy-classification trainer (reference: GPT_classification.ipynb cell 9):
-    per epoch, 30 VMP sweeps then L-BFGS on pseudo-targets f̄ = E[q(f)]."""
+    per epoch, 30 VMP sweeps then L-BFGS on pseudo-targets f̄ = E[q(f)].
+    ``probit_product="gh32"`` uses the reference's ProbitMeta(32) quadrature
+    product instead of the closed-form tilted moments."""
 
     def epoch(theta, _):
         res = classification_vmp(
-            kernel, theta, Xu, X, y, prior_v, prior_w, init_w, n_iters=n_iters
+            kernel, theta, Xu, X, y, prior_v, prior_w, init_w, n_iters=n_iters,
+            probit_product=probit_product,
         )
         mu_v = res.qv.mean
         Uv = rv_chol_upper(mu_v, res.qv.cov)
@@ -108,5 +112,6 @@ def fit_classification(
         return theta, res.free_energy
 
     theta, fe_trace = jax.lax.scan(epoch, theta0, None, length=epochs)
-    res = classification_vmp(kernel, theta, Xu, X, y, prior_v, prior_w, init_w, n_iters=n_iters)
+    res = classification_vmp(kernel, theta, Xu, X, y, prior_v, prior_w, init_w,
+                             n_iters=n_iters, probit_product=probit_product)
     return theta, fe_trace, res

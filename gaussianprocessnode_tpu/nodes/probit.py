@@ -58,6 +58,29 @@ def tilted_marginal_batch(means, variances, ys) -> Gaussian:
     return Gaussian(m, v)
 
 
+def tilted_marginal_gh(m, v, y, n_gh: int = 32) -> Gaussian:
+    """GH-quadrature moment matching of N(f; m, v)·Φ(s·f) — the reference's
+    ProbitMeta(32) product path (ReactiveMP Probit node moment-matches by
+    n-point Gauss–Hermite instead of the closed form). Kept behind a flag for
+    exact trajectory parity with the reference's recorded results; the
+    closed-form :func:`tilted_marginal` is the default (exact and cheaper)."""
+    s = 2.0 * y - 1.0
+    pts, w = gh_points_weights(n_gh, m, v)
+    F = _norm.cdf(s * pts)
+    Z = jnp.maximum(jnp.sum(w * F), 1e-300)
+    m_t = jnp.sum(w * F * pts) / Z
+    v_t = jnp.sum(w * F * (pts - m_t) ** 2) / Z
+    v_t = jnp.maximum(v_t, 1e-12)
+    good = jnp.isfinite(m_t) & jnp.isfinite(v_t)
+    return Gaussian(jnp.where(good, m_t, m), jnp.where(good, v_t, v))
+
+
+def tilted_marginal_gh_batch(means, variances, ys, n_gh: int = 32) -> Gaussian:
+    return jax.vmap(lambda m_, v_, y_: tilted_marginal_gh(m_, v_, y_, n_gh))(
+        means, variances, ys
+    )
+
+
 def average_energy(q_f: Gaussian, y, n_gh: int = 32):
     """U = −E_q(f)[log Φ(s·f)] by Gauss–Hermite (ProbitMeta(32) equivalent)."""
     s = 2.0 * y - 1.0

@@ -103,8 +103,23 @@ class TestToyRegressionEndToEnd:
 
 class TestToyClassificationEndToEnd:
     def test_training_on_reference_draw(self):
-        """Full training on the reference's exact classification draw gets
-        within 2 errors of its recorded 35/400."""
+        """Full training on the reference's exact classification draw.
+
+        Deviation fully quantified (the reference records 35/400 at
+        θ*=[0.2831, 1.3848]):
+        - the probit product is NOT the cause: the ProbitMeta(32) GH
+          quadrature product (probit_product="gh32") and the closed-form
+          tilted moments give training trajectories identical to ~1e-7 (see
+          test_gh32_product_identical_to_closed_form);
+        - our alternation converges to θ=[0.168, 1.452] with LOWER free
+          energy (42.89) than the reference's θ* has under the same
+          variational family (43.36) — a better optimum of the same
+          objective, scoring 37/400;
+        - running OUR inference at the reference's θ* gives 36/400; the
+          remaining ±1 error is one borderline grid point that depends on
+          the reactive-vs-batched sweep interleaving (not replayable without
+          Julia's stream arithmetic).
+        """
         from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
         from gaussianprocessnode_tpu.infer.training import fit_classification
         from gaussianprocessnode_tpu.utils.datasets import toy_classification_reference
@@ -123,7 +138,32 @@ class TestToyClassificationEndToEnd:
                                res.qv.mean, gamma_mean(res.qw))
         pred = (np.asarray(probs) >= 0.5).astype(float)
         errs = float(num_error(data.y_test, pred))
-        assert errs <= 38  # reference: 35; closed-form probit EP differs mildly
+        assert errs <= 37  # reference: 35; see docstring for the full account
+
+    def test_gh32_product_identical_to_closed_form(self):
+        """The reference's ProbitMeta(32) quadrature product and our
+        closed-form tilted moments produce the same trained model — the
+        32-point GH rule is numerically exact for probit-Gaussian tilts."""
+        from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
+        from gaussianprocessnode_tpu.infer.training import fit_classification
+        from gaussianprocessnode_tpu.utils.datasets import toy_classification_reference
+
+        data = toy_classification_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        M = 15
+        Xu = jnp.linspace(-5.0, 5.0, M)[:, None]
+        prior_v = MvGaussianNat(jnp.zeros(M), jnp.eye(M) / 50.0)
+        pw = GammaShapeRate(jnp.asarray(1e-2), jnp.asarray(1e-2))
+        theta0 = invsoftplus(jnp.asarray([1.0, 1.0]))
+        out = {}
+        for pp in ("exact", "gh32"):
+            theta, fe, res = fit_classification(
+                KER, theta0, Xu, X, y, prior_v, pw, pw, epochs=50, n_iters=30,
+                probit_product=pp,
+            )
+            out[pp] = (np.asarray(theta), float(fe[-1]))
+        np.testing.assert_allclose(out["exact"][0], out["gh32"][0], rtol=1e-5)
+        np.testing.assert_allclose(out["exact"][1], out["gh32"][1], rtol=1e-5)
 
 
 class TestVSGPModelParity:
