@@ -257,7 +257,10 @@ def fit_banana(
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "epochs", "learning_rate", "lr_decay_rate", "stats_refreshes"))
+@partial(jax.jit, static_argnames=(
+    "kernel", "epochs", "learning_rate", "lr_decay_rate", "stats_refreshes",
+    "refresh_ns_iters", "refresh_ns_tol", "obj_ns_iters", "obj_ns_tol",
+))
 def fit_kin40k_fast(
     kernel,
     theta0,
@@ -273,6 +276,10 @@ def fit_kin40k_fast(
     lr_decay_rate: float = 1.0,
     stats_refreshes: int = 1,
     resume_state=None,
+    refresh_ns_iters: int = 45,
+    refresh_ns_tol: float | None = None,
+    obj_ns_iters: int = 12,
+    obj_ns_tol: float | None = None,
 ):
     """Epoch-granular kin40k trainer (the benchmark fast path).
     ``stats_refreshes``: q(v) statistics refreshes per epoch (1 = one grand
@@ -317,7 +324,8 @@ def fit_kin40k_fast(
     def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
         return neg_log_backwardmess_gram(
             th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
-            kuu_inv_warm=kuu_warm, ns_iters=12, kuu_jitter=kuu_jit,
+            kuu_inv_warm=kuu_warm, ns_iters=obj_ns_iters, ns_tol=obj_ns_tol,
+            kuu_jitter=kuu_jit,
         )
 
     grad_fn = jax.grad(objective, has_aux=True)
@@ -346,8 +354,12 @@ def fit_kin40k_fast(
             xi = xi + w_val * (Kall @ yg_.astype(acc_dt))
             prec = sym(prec + w_val * (Kall @ Kall.T))
             # cold start needs ~log2(κ)+10 ≈ 45 iterations (κ(Λ) ~ 1e10);
-            # the warm carry converges in the first few thereafter
-            cov64 = spd_inverse(prec, warm=cov64, iters=45)
+            # the warm carry converges in the first few thereafter — with a
+            # tol the while_loop exits right there instead of burning the
+            # full budget of f64 600³ matmuls
+            cov64 = spd_inverse(
+                prec, warm=cov64, iters=refresh_ns_iters, tol=refresh_ns_tol
+            )
             mu64 = ir_solve(prec, xi, cov64, rounds=2)
             mu_v = mu64.astype(obj_dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(obj_dt)

@@ -111,7 +111,8 @@ def neg_log_backwardmess_multi(
 
 def neg_log_backwardmess_gram(
     theta, *, kernel, Xu, X, y, mu_v, Rv, w,
-    kuu_inv_warm=None, ns_iters: int = 30, kuu_jitter: float = 0.0,
+    kuu_inv_warm=None, ns_iters: int = 30, ns_tol: float | None = None,
+    kuu_jitter: float = 0.0,
 ):
     """Factorization-free form of :func:`neg_log_backwardmess_fast` for TPU
     hot loops: the per-datum triangular solves collapse into trace forms
@@ -125,7 +126,7 @@ def neg_log_backwardmess_gram(
     """
     hi = jax.lax.Precision.HIGHEST
     Kuu = kernel.kuu(theta, Xu, jitter=kuu_jitter)
-    Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters)
+    Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters, tol=ns_tol)
     kxx = kernel.diag(theta, X)
     Kux = kernel(theta, Xu, X)
     S = jnp.matmul(Kux, Kux.T, precision=hi)

@@ -128,7 +128,12 @@ def sum_blocks_weighted(Rv: jax.Array, W: jax.Array, D: int, M: int) -> jax.Arra
     return jnp.einsum("imjn,ij->mn", blocks, W)
 
 
-def spd_inverse_ns(A: jax.Array, warm: jax.Array | None = None, iters: int = 30) -> jax.Array:
+def spd_inverse_ns(
+    A: jax.Array,
+    warm: jax.Array | None = None,
+    iters: int = 30,
+    tol: float | None = None,
+) -> jax.Array:
     """Inverse of a symmetric positive-definite matrix by Newton–Schulz
     iteration — matmul-only, no factorization.
 
@@ -141,6 +146,12 @@ def spd_inverse_ns(A: jax.Array, warm: jax.Array | None = None, iters: int = 30)
     ``warm``: previous estimate of A⁻¹ (e.g. from the last minibatch step).
     Used only when ‖I − A·warm‖_F < 0.5, else falls back to the cold init —
     a branchless jnp.where guard.
+
+    ``tol``: optional early exit — stop once ‖I − A X‖_F < tol (checked on
+    the residual the iteration computes anyway). With a good warm start the
+    loop then costs ~2 iterations instead of the full cold-start budget;
+    ``iters`` remains the hard cap. Uses ``lax.while_loop`` (sequential
+    anyway, TPU-legal) instead of the fixed-length scan.
     """
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
@@ -156,32 +167,53 @@ def spd_inverse_ns(A: jax.Array, warm: jax.Array | None = None, iters: int = 30)
 
     X0_cold = eye / norm_inf
 
-    def body(X, _):
+    def step(X):
         R = eye - mm(A, X)
+        rnorm = jnp.sqrt(jnp.sum(R * R))
         Xn = X + mm(X, R)
         # branchless divergence guard: rounding can kick an eigenvalue of AX
         # past 2, after which the iteration explodes — restart cold
         ok = jnp.isfinite(jnp.sum(Xn))
-        return jnp.where(ok, Xn, X0_cold), None
+        return jnp.where(ok, Xn, X0_cold), rnorm
 
-    X, _ = jax.lax.scan(body, X0, None, length=iters)
+    if tol is None:
+        def body(X, _):
+            Xn, _ = step(X)
+            return Xn, None
+
+        X, _ = jax.lax.scan(body, X0, None, length=iters)
+    else:
+        def cond(carry):
+            X, k, rnorm = carry
+            # NOT(rnorm < tol) so a NaN residual (divergence → cold restart)
+            # keeps iterating instead of exiting early
+            return jnp.logical_and(k < iters, jnp.logical_not(rnorm < tol))
+
+        def body(carry):
+            X, k, _ = carry
+            Xn, rnorm = step(X)
+            return Xn, k + 1, rnorm
+
+        X, _, _ = jax.lax.while_loop(
+            cond, body, (X0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, A.dtype))
+        )
     return sym(X)
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _spd_inverse_d(A: jax.Array, warm: jax.Array, iters: int) -> jax.Array:
-    return spd_inverse_ns(A, warm, iters)
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spd_inverse_d(A: jax.Array, warm: jax.Array, iters: int, tol) -> jax.Array:
+    return spd_inverse_ns(A, warm, iters, tol=tol)
 
 
-def _spd_inverse_fwd(A, warm, iters):
-    X = spd_inverse_ns(A, warm, iters)
+def _spd_inverse_fwd(A, warm, iters, tol):
+    X = spd_inverse_ns(A, warm, iters, tol=tol)
     return X, X
 
 
-def _spd_inverse_bwd(iters, X, g):
+def _spd_inverse_bwd(iters, tol, X, g):
     # inverse-function identity on the primal output: Ā = −A⁻¹ Ḡ A⁻¹ —
     # two matmuls, no differentiation through the iteration (full precision:
     # bf16 default passes add visible gradient noise)
@@ -192,11 +224,16 @@ def _spd_inverse_bwd(iters, X, g):
 _spd_inverse_d.defvjp(_spd_inverse_fwd, _spd_inverse_bwd)
 
 
-def spd_inverse(A: jax.Array, warm: jax.Array | None = None, iters: int = 30) -> jax.Array:
+def spd_inverse(
+    A: jax.Array,
+    warm: jax.Array | None = None,
+    iters: int = 30,
+    tol: float | None = None,
+) -> jax.Array:
     """Differentiable SPD inverse (Newton–Schulz forward, analytic VJP)."""
     if warm is None:
         warm = jnp.zeros_like(A)  # guard rejects it (‖I‖_F ≥ 0.5) → cold init
-    return _spd_inverse_d(A, warm, iters)
+    return _spd_inverse_d(A, warm, iters, tol)
 
 
 def ir_solve(A64: jax.Array, b64: jax.Array, M32: jax.Array, rounds: int = 3) -> jax.Array:
