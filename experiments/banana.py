@@ -22,6 +22,9 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -74,7 +77,8 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
                 )
                 jax.block_until_ready(theta)
                 break
-            except Exception:
+            except jax.errors.JaxRuntimeError:
+                # transient tunnel faults only; real bugs propagate
                 if attempt == 2:
                     raise
                 time.sleep(5)

@@ -11,9 +11,12 @@ Two trainers (gaussianprocessnode_tpu/infer/minibatch.py); on one TPU chip:
 - ``--faithful``: per-batch schedule exactly as the reference —
   SMSE 0.08182 @ 500 epochs (= the exact-arithmetic oracle's 0.08181) in
   ~470 s;
-- default fast path (4 stats refreshes/epoch, identical fixed point):
-  SMSE 0.08158 @ 500 epochs in ~70 s — beats the reference's accuracy at
-  175× its wall-clock.
+- default fast path (ONE grand q(v) statistics refresh per epoch — the
+  identical order-free fixed point): SMSE 0.0799 @ 500 epochs in ~26 s
+  warm / ~36 s with a cold compile — beats the reference's accuracy at
+  ~486× its wall-clock. (Per-epoch refresh also converges slightly
+  BETTER than 4 refreshes/epoch, 0.0799 vs 0.0816: the mid-epoch
+  quarter-statistics inject feedback noise into the w-weighted θ steps.)
 """
 
 import os as _os
@@ -28,13 +31,23 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # persistent compilation cache: the kin40k training program is large
+    # (~10-20 s of XLA compile per executable through the device tunnel);
+    # caching it on disk makes every later invocation start in ~1 s
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
 
 from gaussianprocessnode_tpu.dists import MvGaussianNat
 from gaussianprocessnode_tpu.infer.batch_vmp import predict_out
-from gaussianprocessnode_tpu.infer.minibatch import fit_kin40k, fit_kin40k_fast
+from gaussianprocessnode_tpu.infer.minibatch import (
+    fit_kin40k,
+    fit_kin40k_fast,
+    init_kin40k_fast_state,
+)
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.ops.linalg import ir_solve, spd_inverse_ns, sym
 from gaussianprocessnode_tpu.utils.datasets import kin40k
@@ -43,7 +56,7 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 
 def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         n_train: int = 10_000, dtype=None, seed: int = 1, faithful: bool = False,
-        learning_rate: float = 0.001, stats_refreshes: int = 4,
+        learning_rate: float = 0.001, stats_refreshes: int = 1,
         warm_timing: bool = False, verbose: bool = True):
     data = kin40k()
     if dtype is None:
@@ -62,16 +75,28 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
     Xb = Xtr[: B * batch_size].reshape(B, batch_size, -1)
     yb = ytr[: B * batch_size].reshape(B, batch_size)
 
-    kernel = Kernel("se", transform="softplus")
+    # use_pallas: SE Grams through the fused Mosaic kernel on TPU/f32 (jnp
+    # fallback elsewhere). With full-f32 MXU passes it is f32-exact vs XLA
+    # (bench.py asserts this on-device) and performance-par at the headline
+    # shapes (0.68 vs 0.70 ms per 600×10000 Gram) — XLA's automatic fusion
+    # already saturates this op; the kernel is kept live here so the claim
+    # stays continuously verified.
+    kernel = Kernel("se", transform="softplus", use_pallas=True)
     theta0 = invsoftplus(jnp.ones((1 + Xtr.shape[1],), dtype))
     prior_v = MvGaussianNat(jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype) / 50.0)
     w_val = 1e4
 
-    def _chunked(step_fn, chunk):
+    # transient device-tunnel faults (RPC deadline, transfer hiccups) raise
+    # XlaRuntimeError / JaxRuntimeError; anything else (shape/numerics bugs)
+    # must propagate immediately instead of being retried away
+    _transient_errors = (jax.errors.JaxRuntimeError,)
+
+    def _chunked(step_fn, chunk, state):
         # chunked + retried: long single executions hit the tunnel RPC
         # deadline, and the device link occasionally faults transiently;
-        # the carry state lives host-side so a chunk can simply be re-run
-        state = None
+        # the carry state lives host-side so a chunk can simply be re-run.
+        # `state` is always a concrete carry (built host-side), so every
+        # chunk — including the first — shares ONE compiled executable.
         done = 0
         out = None
         while done < epochs:
@@ -81,7 +106,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     out = step_fn(e, state)
                     jax.block_until_ready(out[0])
                     break
-                except Exception:
+                except _transient_errors:
                     if attempt == 2:
                         raise
                     time.sleep(5)
@@ -97,9 +122,12 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     learning_rate=learning_rate, resume_state=st,
                 ),
                 50,
+                None,
             )
             cov64 = None
         else:
+            groups = max(1, min(stats_refreshes, B))
+            state0 = init_kin40k_fast_state(theta0, prior_v, M, groups)
             theta, qv_nat, cov64, state = _chunked(
                 lambda e, st: fit_kin40k_fast(
                     kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v, w_val, e,
@@ -107,6 +135,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     resume_state=st,
                 ),
                 100,
+                state0,
             )
         jax.block_until_ready(theta)
         return theta, qv_nat, cov64
@@ -114,6 +143,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
     t0 = time.time()
     theta, qv_nat, cov64 = train()
     train_s = time.time() - t0
+    first_s = train_s
     if warm_timing:  # re-run against the cached executable: pure device time
         t0 = time.time()
         theta, qv_nat, cov64 = train()
@@ -130,8 +160,8 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         print(f"train wall: {train_s:.2f}s for {epochs} epochs "
               f"(reference: ~12600 s for 500)")
         print(f"θ (softplus) = {np.asarray(softplus(theta))}")
-    return {"smse": score, "seconds": train_s, "theta": np.asarray(theta),
-            "epochs": epochs}
+    return {"smse": score, "seconds": train_s, "first_seconds": first_s,
+            "theta": np.asarray(theta), "epochs": epochs}
 
 
 if __name__ == "__main__":

@@ -29,7 +29,13 @@ from ..nodes import probit as probit_node
 from ..objectives import neg_log_backwardmess_gram
 from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
 
-__all__ = ["MinibatchCarry", "fit_kin40k", "fit_banana"]
+__all__ = [
+    "MinibatchCarry",
+    "fit_kin40k",
+    "fit_kin40k_fast",
+    "init_kin40k_fast_state",
+    "fit_banana",
+]
 
 # Newton–Schulz budgets: the q(v) precision and Kuu change little between
 # consecutive batches, so a warm start + few iterations suffices in steady
@@ -148,7 +154,7 @@ def fit_kin40k(
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 
-@partial(jax.jit, static_argnames=("kernel", "epochs"))
+@partial(jax.jit, static_argnames=("kernel", "epochs", "ns_iters", "ns_tol"))
 def fit_banana(
     kernel,
     theta0,
@@ -160,6 +166,8 @@ def fit_banana(
     epochs: int,
     learning_rate: float = 0.001,
     resume_state: MinibatchCarry | None = None,
+    ns_iters: int = 30,
+    ns_tol: float | None = None,
 ):
     """Banana classification trainer (classification_banana.ipynb cell 9):
     per batch, 1 VMP sweep (forward f → probit tilted q(f) → q(v) warm-started
@@ -205,7 +213,11 @@ def fit_banana(
         # q(v) update with pseudo-targets E[f]; PSD-exact f64 products
         xi = carry.xi_v + w_mean * (Kux64 @ qf.mean.astype(acc_dt))
         prec = sym(carry.prec_v + w_mean * (Kux64 @ Kux64.T))
-        cov = spd_inverse(prec, warm=carry.cov_v, iters=30)
+        # q(v) accumulates ACROSS batches here (no epoch reset), so in steady
+        # state the per-batch precision increment is O(1/(B·epoch)) relative
+        # and the previous batch's inverse is an excellent warm start — the
+        # residual tol exits the f64 Newton–Schulz after ~2 iterations
+        cov = spd_inverse(prec, warm=carry.cov_v, iters=ns_iters, tol=ns_tol)
         mu64 = ir_solve(prec, xi, cov, rounds=2)
         mu_v = mu64.astype(dt)
         Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
@@ -343,23 +355,32 @@ def fit_kin40k_fast(
         # and accumulates group by group; θ-steps within a group use the
         # freshest statistics (groups=1 → one grand update per epoch;
         # groups=B → the reference's per-batch schedule)
-        xi0, prec0, cov64, theta, opt_state, kuu_inv = carry
+        xi0, prec0, covs64, theta, opt_state, kuu_inv = carry
 
         def group_step(c, grp):
-            xi, prec, cov64, theta, opt_state, kuu_inv = c
-            Xg_, yg_, Xb_, yb_ = grp
+            xi, prec, covs64, theta, opt_state, kuu_inv = c
+            Xg_, yg_, Xb_, yb_, g_idx = grp
             Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
             # Gram PRODUCT in f64 on the f32 Gram: exact-PSD (f32 product
             # rounding ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS)
             xi = xi + w_val * (Kall @ yg_.astype(acc_dt))
             prec = sym(prec + w_val * (Kall @ Kall.T))
-            # cold start needs ~log2(κ)+10 ≈ 45 iterations (κ(Λ) ~ 1e10);
-            # the warm carry converges in the first few thereafter — with a
-            # tol the while_loop exits right there instead of burning the
-            # full budget of f64 600³ matmuls
+            # warm start from the SAME group's inverse in the PREVIOUS epoch:
+            # the precision at group g is prior + g/G of a grand update, so
+            # the previous *group's* estimate is off by an O(1) rank-B term
+            # (useless as a warm start), while across epochs it differs only
+            # by the θ drift. NOTE the drift w·Δ(KKᵀ) can still land in the
+            # prior-dominated subspace (residual > 1), so the full cold-start
+            # budget stays the default — the measured fast config is instead
+            # stats_refreshes=1 (ONE 45-iteration f64 NS per epoch, ~26 s per
+            # 500 kin40k epochs); a tol turns this into a while_loop early
+            # exit, which this backend's per-iteration dispatch makes a NET
+            # LOSS on TPU (kept for other backends).
             cov64 = spd_inverse(
-                prec, warm=cov64, iters=refresh_ns_iters, tol=refresh_ns_tol
+                prec, warm=covs64[g_idx], iters=refresh_ns_iters,
+                tol=refresh_ns_tol,
             )
+            covs64 = jax.lax.dynamic_update_index_in_dim(covs64, cov64, g_idx, 0)
             mu64 = ir_solve(prec, xi, cov64, rounds=2)
             mu_v = mu64.astype(obj_dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(obj_dt)
@@ -374,27 +395,52 @@ def fit_kin40k_fast(
             (theta, opt_state, kuu_inv), _ = jax.lax.scan(
                 theta_step, (theta, opt_state, kuu_inv), (Xb_, yb_)
             )
-            return (xi, prec, cov64, theta, opt_state, kuu_inv), None
+            return (xi, prec, covs64, theta, opt_state, kuu_inv), None
 
         c0 = (prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
-              cov64, theta, opt_state, kuu_inv)
-        (xi, prec, cov64, theta, opt_state, kuu_inv), _ = jax.lax.scan(
-            group_step, c0, (Xg, yg, Xbg, ybg)
+              covs64, theta, opt_state, kuu_inv)
+        (xi, prec, covs64, theta, opt_state, kuu_inv), _ = jax.lax.scan(
+            group_step, c0, (Xg, yg, Xbg, ybg, jnp.arange(groups))
         )
-        return (xi, prec, cov64, theta, opt_state, kuu_inv), None
+        return (xi, prec, covs64, theta, opt_state, kuu_inv), None
 
     theta0 = theta0.astype(obj_dt)
     if resume_state is None:
-        carry0 = (
-            prior_v.xi.astype(acc_dt),
-            prior_v.prec.astype(acc_dt),
-            jnp.zeros((M, M), acc_dt),
-            theta0,
-            optimizer.init(theta0),
-            jnp.zeros((M, M), obj_dt),
+        carry0 = init_kin40k_fast_state(
+            theta0, prior_v, M, groups, optimizer=optimizer,
+            acc_dt=acc_dt, obj_dt=obj_dt,
         )
     else:
         carry0 = resume_state
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
-    xi, prec, cov64, theta, _, _ = carry
-    return theta, MvGaussianNat(xi, prec), cov64, carry
+    xi, prec, covs64, theta, _, _ = carry
+    # the last group's inverse is the full-posterior estimate callers expect
+    return theta, MvGaussianNat(xi, prec), covs64[-1], carry
+
+
+def init_kin40k_fast_state(theta0, prior_v, M, groups, optimizer=None,
+                           acc_dt=None, obj_dt=None):
+    """Initial carry for :func:`fit_kin40k_fast`. Exposed so chunked drivers
+    can build it host-side and always call the trainer with a concrete
+    ``resume_state`` — one trace/executable for every chunk instead of a
+    separate compile for the ``resume_state=None`` signature.
+
+    ``optimizer`` must match the trainer's chain; the default reproduces it
+    for a constant learning rate (pass your own when ``lr_decay_rate`` ≠ 1,
+    whose schedule state has a different pytree structure)."""
+    if optimizer is None:
+        optimizer = optax.chain(
+            optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(1e-3)
+        )
+    obj_dt = theta0.dtype if obj_dt is None else obj_dt
+    if acc_dt is None:
+        acc_dt = jnp.float64 if jax.config.jax_enable_x64 else obj_dt
+    theta0 = theta0.astype(obj_dt)
+    return (
+        prior_v.xi.astype(acc_dt),
+        prior_v.prec.astype(acc_dt),
+        jnp.zeros((groups, M, M), acc_dt),
+        theta0,
+        optimizer.init(theta0),
+        jnp.zeros((M, M), obj_dt),
+    )

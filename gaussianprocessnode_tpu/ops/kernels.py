@@ -135,9 +135,11 @@ class Kernel:
         var, ls = self.params(theta)
         X2, Z2 = jnp.atleast_2d(X), jnp.atleast_2d(Z)
         if self.use_pallas and self.kind == "se":
-            from .pallas_gram import se_gram_auto
+            # differentiable wrapper: Pallas forward + analytic matmul VJP
+            # (pallas_call itself has no autodiff rule)
+            from .pallas_gram import se_gram_fused
 
-            return se_gram_auto(X2, Z2, var, ls)
+            return se_gram_fused(X2, Z2, var, ls)
         return gram(self.kind, X2, Z2, var, ls)
 
     def diag(self, theta, X) -> jax.Array:

@@ -399,3 +399,44 @@ class TestPallasGram:
         np.testing.assert_allclose(
             se_gram_auto(Z, X, 1.3, ls), kern.se_gram(Z, X, 1.3, ls), atol=1e-6
         )
+
+    def test_fused_gram_analytic_vjp_matches_autodiff(self):
+        """se_gram_fused's hand-derived VJP (σ̄², ℓ̄, Z̄, X̄) must equal
+        jax.grad through the jnp sqdist graph — this is what lets the
+        Pallas forward live inside the differentiated hyperparameter
+        objectives (ops/pallas_gram.py)."""
+        from gaussianprocessnode_tpu.ops.pallas_gram import se_gram_fused
+
+        Z = jnp.asarray(rng.standard_normal((7, 3)))
+        X = jnp.asarray(rng.standard_normal((11, 3)))
+        ls = jnp.asarray([0.7, 1.1, 1.4])
+        var = jnp.asarray(1.3)
+        G = jnp.asarray(rng.standard_normal((7, 11)))  # cotangent
+
+        def loss_fused(Z, X, v, l):
+            return jnp.sum(G * se_gram_fused(Z, X, v, l))
+
+        def loss_ref(Z, X, v, l):
+            return jnp.sum(G * kern.se_gram(Z, X, v, l))
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(Z, X, var, ls)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(Z, X, var, ls)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+    def test_fused_gram_scalar_lengthscale_vjp(self):
+        from gaussianprocessnode_tpu.ops.pallas_gram import se_gram_fused
+
+        Z = jnp.asarray(rng.standard_normal((5, 2)))
+        X = jnp.asarray(rng.standard_normal((6, 2)))
+
+        def f(l):
+            return jnp.sum(se_gram_fused(Z, X, jnp.asarray(2.0), l) ** 2)
+
+        def f_ref(l):
+            return jnp.sum(kern.se_gram(Z, X, jnp.asarray(2.0), l) ** 2)
+
+        l0 = jnp.asarray(0.9)
+        np.testing.assert_allclose(
+            float(jax.grad(f)(l0)), float(jax.grad(f_ref)(l0)), rtol=1e-9
+        )
