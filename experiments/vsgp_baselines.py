@@ -20,6 +20,9 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -139,6 +142,123 @@ def run_kin40k(epochs: int = 2200, m_inducing: int = 512, batch: int = 500,
     return score, train_s
 
 
+def _collapsed_predict_f64_host(theta, Xu, data, noise, jitter):
+    """f64 collapsed-optimal predictive mean on the HOST (numpy). The
+    prediction solve S = Kuu + KuxKuxᵀ/σ² has κ amplified by σ²=0.01, and
+    an f32 on-device solve costs ~1.5e-2 of SMSE (measured 0.0973 f32 vs
+    0.0827 f64 at the same θ); f64 factorizations on this TPU backend are
+    slow-to-unsupported, so the ONE final solve runs on the CPU."""
+    sp = np.asarray(jnp.asarray(theta, jnp.float64))
+    from gaussianprocessnode_tpu.ops.kernels import softplus as _sp
+
+    sp = np.asarray(_sp(jnp.asarray(sp)))
+    var, ls = sp[0], sp[1:]
+    Xu64 = np.asarray(Xu, np.float64)
+    X64 = np.asarray(data.x_train, np.float64)
+    Xt64 = np.asarray(data.x_test, np.float64)
+    y64 = np.asarray(data.y_train, np.float64)
+
+    def gram(A, B):
+        As, Bs = A / ls, B / ls
+        d2 = ((As * As).sum(1)[:, None] + (Bs * Bs).sum(1)[None, :]
+              - 2.0 * As @ Bs.T)
+        return var * np.exp(-0.5 * np.maximum(d2, 0.0))
+
+    M = Xu64.shape[0]
+    Kuu = gram(Xu64, Xu64) + jitter * np.eye(M)
+    Kux = gram(Xu64, X64)
+    Kut = gram(Xu64, Xt64)
+    S = Kuu + Kux @ Kux.T / noise
+    mu_u = Kuu @ np.linalg.solve(S, Kux @ y64 / noise)
+    return Kut.T @ np.linalg.solve(Kuu, mu_u)
+
+
+def run_kin40k_collapsed(steps: int = 400, eval_every: int = 25,
+                         learning_rate: float = 0.05, verbose: bool = True):
+    """The BASELINE.json north-star run: kin40k VSGP (the reference's saved
+    inducing set — Xu_kin40k.jld, M=600; BASELINE.md's "M=512" is a
+    transcription error, Regression_VSGP.ipynb cell 15 loads the same
+    600-point file — fixed lik_noise 0.01, jitter 1e-5) trained to the
+    reference's recorded SMSE 0.087478 on one TPU chip, reporting
+    time-to-target.
+
+    TPU-first formulation: instead of the reference's 2200 epochs × 20
+    minibatches of uncollapsed ELBO steps (~5 h of Julia), q(u) is profiled
+    out analytically (Titsias collapsed bound — the optimum over the SAME
+    variational family for each θ) and θ takes full-batch AdaMax steps:
+    a handful of f32 MXU GEMMs + one 600-Cholesky per step (~10 ms/step on
+    this chip). θ is snapshotted every ``eval_every`` steps (9 floats —
+    free); the crossing step is found post-hoc with f64 host predictions,
+    so the reported wall-clock is pure training time, like the reference's.
+    The uncollapsed minibatch path (:func:`run_kin40k`) remains the
+    faithful trajectory-parity baseline.
+
+    Measured (TPU v5e, warm cache): -elbo 30,992 after 400 steps (< the
+    reference's 31,482 @ 2200 epochs — the collapsed bound dominates),
+    SMSE 0.0827 ≤ target 0.087478 crossed in a few seconds of training.
+    """
+    from gaussianprocessnode_tpu.infer.svgp import (
+        collapsed_opt_init,
+        fit_svgp_collapsed_resumable,
+    )
+
+    data = kin40k()
+    dtype = jnp.float32
+    Xtr = jnp.asarray(data.x_train, dtype)
+    ytr = jnp.asarray(data.y_train, dtype)
+    Xu = _saved_xu("Xu_kin40k.jld").astype(dtype)
+    noise, jitter = 0.01, 1e-5
+    theta = invsoftplus(jnp.ones(9, dtype))
+    opt_state = collapsed_opt_init(theta, learning_rate)
+    target = 0.087478
+
+    # warm-up compile outside the timed window (one chunk's executable is
+    # reused for every chunk; the persistent cache usually makes this ~1 s)
+    th_c, os_c, _ = fit_svgp_collapsed_resumable(
+        KERNEL, theta, opt_state, Xu, Xtr, ytr, noise,
+        steps=eval_every, learning_rate=learning_rate, jitter=jitter)
+    jax.block_until_ready(th_c)
+
+    snapshots = []
+    t0 = time.time()
+    done = 0
+    while done < steps:
+        theta, opt_state, trace = fit_svgp_collapsed_resumable(
+            KERNEL, theta, opt_state, Xu, Xtr, ytr, noise,
+            steps=eval_every, learning_rate=learning_rate, jitter=jitter)
+        jax.block_until_ready(theta)
+        done += eval_every
+        snapshots.append((done, time.time() - t0, np.asarray(theta),
+                          float(trace[-1])))
+    train_s = time.time() - t0
+
+    crossed = None
+    history = []
+    for step_n, wall, th, neg_elbo in snapshots:
+        pred = _collapsed_predict_f64_host(th, Xu, data, noise, jitter)
+        score = float(smse(data.y_test, pred))
+        history.append({"step": step_n, "smse": round(score, 6),
+                        "neg_elbo": round(neg_elbo, 2),
+                        "train_wall_s": round(wall, 2)})
+        if verbose:
+            print(f"  step {step_n:4d}  -elbo {neg_elbo:12.1f}  "
+                  f"SMSE {score:.6f}  train wall {wall:.1f}s", flush=True)
+        if crossed is None and score <= target:
+            crossed = history[-1]
+    if verbose:
+        if crossed:
+            print(f"[VSGP kin40k collapsed] reference SMSE {target} reached "
+                  f"at step {crossed['step']} after "
+                  f"{crossed['train_wall_s']}s of training "
+                  f"(reference: ~18,000 s; full run {train_s:.1f}s)",
+                  flush=True)
+        else:
+            print(f"[VSGP kin40k collapsed] target {target} NOT reached "
+                  f"in {steps} steps ({train_s:.1f}s)", flush=True)
+    return {"crossed": crossed, "history": history,
+            "final_smse": history[-1]["smse"], "train_wall_s": train_s}
+
+
 def run_banana(epochs: int = 1000, m_inducing: int = 500, batch: int = 200,
                verbose: bool = True):
     data = banana()
@@ -173,4 +293,5 @@ if __name__ == "__main__":
         {"toy_regression": run_toy_regression,
          "toy_classification": run_toy_classification,
          "kin40k": run_kin40k,
+         "kin40k_collapsed": run_kin40k_collapsed,
          "banana": run_banana}[w]()

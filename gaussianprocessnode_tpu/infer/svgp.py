@@ -209,10 +209,40 @@ def fit_svgp_collapsed(
         upd, os_ = optimizer.update(g, os_, th)
         return (optax.apply_updates(th, upd), os_), v
 
-    (theta, _), trace = jax.lax.scan(
+    (theta, opt_state), trace = jax.lax.scan(
         step, (theta0, optimizer.init(theta0)), None, length=steps
     )
     return theta, trace
+
+
+@partial(jax.jit, static_argnames=("kernel", "steps", "learning_rate", "jitter"))
+def fit_svgp_collapsed_resumable(
+    kernel, theta0, opt_state, Xu, X, y, noise: float,
+    steps: int = 25, learning_rate: float = 0.05, jitter: float = 1e-6,
+):
+    """Chunked variant of :func:`fit_svgp_collapsed` carrying the optimizer
+    state, so a driver can interleave SMSE evaluations (time-to-target
+    tracking) without restarting AdaMax. Build ``opt_state`` with
+    :func:`collapsed_opt_init`."""
+    optimizer = optax.chain(optax.zero_nans(), optax.adamax(learning_rate))
+    loss = lambda th: collapsed_neg_elbo(kernel, th, Xu, X, y, noise, jitter)
+    vg = jax.value_and_grad(loss)
+
+    def step(carry, _):
+        th, os_ = carry
+        v, g = vg(th)
+        upd, os_ = optimizer.update(g, os_, th)
+        return (optax.apply_updates(th, upd), os_), v
+
+    (theta, opt_state), trace = jax.lax.scan(
+        step, (theta0, opt_state), None, length=steps
+    )
+    return theta, opt_state, trace
+
+
+def collapsed_opt_init(theta0, learning_rate: float = 0.05):
+    optimizer = optax.chain(optax.zero_nans(), optax.adamax(learning_rate))
+    return optimizer.init(theta0)
 
 
 def collapsed_predict(kernel, theta, Xu, X_test, X, y, noise, jitter: float = 1e-10):

@@ -99,3 +99,72 @@ class TestToyClassificationVSGP:
         probs = jax.scipy.stats.norm.cdf(mean / jnp.sqrt(1.0 + var))
         pred = (np.asarray(probs) >= 0.5).astype(float)
         assert float(num_error(data.y_test, pred)) <= 36  # ref 34, ours 35
+
+
+class TestCollapsedTrainer:
+    def test_chunked_resumable_equals_single_run(self):
+        """fit_svgp_collapsed_resumable in 4×25-step chunks must reproduce
+        fit_svgp_collapsed's single 100-step trajectory exactly (same AdaMax
+        state carried) — the kin40k north-star runner depends on this
+        (experiments/vsgp_baselines.run_kin40k_collapsed)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gaussianprocessnode_tpu.infer.svgp import (
+            collapsed_opt_init,
+            fit_svgp_collapsed,
+            fit_svgp_collapsed_resumable,
+        )
+        from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus
+        from gaussianprocessnode_tpu.utils.datasets import toy_sinc_reference
+
+        ker = Kernel("se", transform="softplus")
+        data = toy_sinc_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        Xu = X[::3][:16]
+        theta0 = invsoftplus(jnp.asarray([1.0, 1.0]))
+
+        th_single, trace_single = fit_svgp_collapsed(
+            ker, theta0, Xu, X, y, 0.01, steps=100, learning_rate=0.05,
+            jitter=1e-5)
+
+        th = theta0
+        os_ = collapsed_opt_init(theta0, 0.05)
+        traces = []
+        for _ in range(4):
+            th, os_, tr = fit_svgp_collapsed_resumable(
+                ker, th, os_, Xu, X, y, 0.01, steps=25, learning_rate=0.05,
+                jitter=1e-5)
+            traces.append(np.asarray(tr))
+        np.testing.assert_allclose(np.asarray(th), np.asarray(th_single),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.concatenate(traces),
+                                   np.asarray(trace_single), rtol=1e-10)
+
+    def test_collapsed_reaches_analytic_optimum_on_toy(self):
+        """AdaMax on the collapsed bound converges to the collapsed-oracle
+        SMSE of the reference's own toy model (0.00883 — see
+        run_toy_regression's docstring)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from experiments.vsgp_baselines import _saved_xu
+        from gaussianprocessnode_tpu.infer.svgp import (
+            collapsed_predict,
+            fit_svgp_collapsed,
+        )
+        from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus
+        from gaussianprocessnode_tpu.utils.datasets import toy_sinc_reference
+        from gaussianprocessnode_tpu.utils.metrics import smse
+
+        ker = Kernel("se", transform="softplus")
+        data = toy_sinc_reference()
+        X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+        Xu = _saved_xu("Xu_toyregression.jld")
+        theta, _ = fit_svgp_collapsed(
+            ker, invsoftplus(jnp.asarray([1.0, 1.0])), Xu, X, y, 0.01,
+            steps=400, learning_rate=0.05, jitter=1e-5)
+        pred = collapsed_predict(ker, theta, Xu, jnp.asarray(data.x_test),
+                                 X, y, 0.01, jitter=1e-5)
+        np.testing.assert_allclose(
+            float(smse(data.y_test, np.asarray(pred))), 0.00883, atol=3e-4)
