@@ -35,6 +35,7 @@ __all__ = [
     "fit_kin40k_fast",
     "init_kin40k_fast_state",
     "fit_banana",
+    "fit_banana_fast",
 ]
 
 # Newton–Schulz budgets: the q(v) precision and Kuu change little between
@@ -257,6 +258,135 @@ def fit_banana(
             spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
             theta0, optimizer.init(theta0),
             jnp.asarray(1e-2, acc_dt), jnp.asarray(1e-2, acc_dt),
+        )
+    else:
+        carry0 = resume_state
+    carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
+    return (
+        carry.theta,
+        MvGaussianNat(carry.xi_v, carry.prec_v),
+        GammaShapeRate(carry.w_shape, carry.w_rate),
+        carry,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel", "epochs", "learning_rate", "refresh_ns_iters", "obj_ns_iters",
+))
+def fit_banana_fast(
+    kernel,
+    theta0,
+    Xu,
+    X,  # (N, 2) full training inputs
+    y,  # (N,) in {0,1}
+    X_batched,  # (B, batch, 2) — same data, pre-batched for the θ steps
+    y_batched,
+    prior_v: MvGaussianNat,
+    prior_w: GammaShapeRate,
+    epochs: int,
+    learning_rate: float = 0.001,
+    resume_state=None,
+    refresh_ns_iters: int = 45,
+    obj_ns_iters: int = NS_ITERS_STEADY,
+):
+    """Epoch-granular banana trainer (the :func:`fit_banana` fixed point at
+    kin40k-fast cost — VERDICT round-1 item 8).
+
+    Per epoch, ONE grand statistics pass replaces the reference's 20
+    per-batch passes (classification_banana.ipynb cell 9):
+
+    - forward f-messages and probit tilted marginals for ALL N points at the
+      epoch's (μ_v, w̄) — one 500×4000 MXU Gram;
+    - ONE grand natural-parameter update of the ACCUMULATING q(v) (the
+      reference carries q(v) across batches without reset; the 20 per-batch
+      increments at frozen stats sum to this one update, order-free) and ONE
+      full-budget f64 Newton–Schulz refresh — the hot op, now 1/20th as
+      frequent;
+    - ONE grand q(w) update (shape += N/2, rate += Σ(I1+I2)/2 — the same
+      per-epoch sum the reference accumulates batch by batch);
+    - 20 AdaMax θ-steps against the frozen epoch statistics with
+      pseudo-targets E[f] (the reference's schedule, stats one epoch stale).
+
+    Within-epoch staleness of (μ_v, w̄) is the only deviation; both paths
+    converge to the same mean-field fixed point (equivalence tested at
+    matched budgets in tests/test_minibatch.py).
+    """
+    optimizer = optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
+    )
+    M = Xu.shape[0]
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
+    N = X.shape[0]
+    kuu_jit = effective_jitter(dt)
+
+    def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
+        return neg_log_backwardmess_gram(
+            th, kernel=kernel, Xu=Xu, X=Xb, y=f, mu_v=mu_v, Rv=Rv, w=w,
+            kuu_inv_warm=kuu_warm, ns_iters=obj_ns_iters, kuu_jitter=kuu_jit,
+        )
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def epoch(carry: MinibatchCarry, _):
+        theta = carry.theta
+        Kall = kernel(theta, Xu, X)  # (M, N) — one MXU Gram
+        Kall64 = Kall.astype(acc_dt)
+        kxx = kernel.diag(theta, X)
+        w_mean = (carry.w_shape / carry.w_rate).astype(dt)
+        mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v, rounds=2).astype(dt)
+        # forward f messages → probit tilted marginals for ALL points
+        f_fwd = jnp.matmul(Kall.T, mu_v_prev, precision=hi)
+        f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
+        qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y)
+        # ONE grand q(v) update (accumulating across epochs, PSD-exact f64)
+        w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
+        xi = carry.xi_v + w64 * (Kall64 @ qf.mean.astype(acc_dt))
+        prec = sym(carry.prec_v + w64 * (Kall64 @ Kall64.T))
+        cov = spd_inverse(prec, warm=carry.cov_v, iters=refresh_ns_iters)
+        mu64 = ir_solve(prec, xi, cov, rounds=2)
+        mu_v = mu64.astype(dt)
+        Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
+        # ONE grand q(w) update (trace forms, UniSGPnode.jl:219-238)
+        kuu_inv = carry.kuu_inv
+        I1 = jnp.maximum(
+            kxx - jnp.sum(Kall * jnp.matmul(kuu_inv, Kall, precision=hi), axis=0), 0.0
+        )
+        I2 = (
+            qf.mean**2 + qf.var
+            - 2.0 * qf.mean * jnp.matmul(Kall.T, mu_v, precision=hi)
+            + jnp.sum(Kall * jnp.matmul(Rv, Kall, precision=hi), axis=0)
+        )
+        w_shape = (carry.w_shape + 0.5 * N).astype(acc_dt)
+        w_rate = (carry.w_rate + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
+        # 20 AdaMax θ-steps against the frozen epoch statistics
+        qf_b = qf.mean[: X_batched.shape[0] * X_batched.shape[1]].reshape(
+            X_batched.shape[0], X_batched.shape[1]
+        )
+
+        def theta_step(tc, batch):
+            th, os_, kw = tc
+            Xb, fb = batch
+            g, kw = grad_fn(th, Xb, fb, mu_v, Rv, (w_shape / w_rate).astype(dt), kw)
+            upd, os_ = optimizer.update(g, os_, th)
+            return (optax.apply_updates(th, upd), os_, kw), None
+
+        (theta, opt_state, kuu_inv), _ = jax.lax.scan(
+            theta_step, (theta, carry.opt_state, kuu_inv), (X_batched, qf_b)
+        )
+        return MinibatchCarry(
+            xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate
+        ), None
+
+    if resume_state is None:
+        kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
+        carry0 = MinibatchCarry(
+            prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+            spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
+            theta0, optimizer.init(theta0),
+            jnp.asarray(prior_w.shape, acc_dt),
+            jnp.asarray(prior_w.rate, acc_dt),
         )
     else:
         carry0 = resume_state
