@@ -14,6 +14,13 @@ Reference results (BASELINE.md): smoothing SMSE state-1 0.005455 / state-2
 Julia). This experiment on the difficulty-matched draw (datasets.pendulum):
 0.005474 / 0.001020 (state-2 beats the reference), θ = [0.66, 2.27, 4.85],
 hyperopt 158 s on CPU.
+
+CPU is the right backend for this workload: the GPSSM state is tiny (M=48,
+D=2, T=300), so on the tunneled TPU the hyperopt program (LBFGS line
+searches inside a scanned epoch) is compile- and dispatch-bound — the XLA
+compile alone exceeds the tunnel's execution window. The epoch loop is
+chunked (``--tpu`` chunks at 25 epochs) so device runs stay under the RPC
+deadline if attempted.
 """
 
 import os as _os
@@ -133,33 +140,42 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
             )
         return (theta, opt_state, state), fe
 
-    @jax.jit
-    def hyperopt(theta0):
-        # the whole 150-epoch alternation is ONE scanned program: no host
-        # round-trips; the FE trace is a scan output (VMP state warm-starts
-        # across epochs, seeded with the reference's fresh initialization)
-        T = y_train.shape[0]
-        dt = y_train.dtype
-        state0 = GPSSMState(
-            jnp.concatenate([prior_x0_mean[None, :], jnp.zeros((T, D), dt)], 0),
-            jnp.concatenate(
-                [prior_x0_cov[None, :, :],
-                 jnp.tile(50.0 * jnp.eye(D, dtype=dt), (T, 1, 1))], 0,
-            ),
-            prior_v.xi, prior_v.prec,
-            jnp.asarray(100.0, dt), jnp.eye(2, dtype=dt),
-        )
-        carry0 = (theta0, optimizer.init(theta0), state0)
-        (theta, _, state), fe_trace = jax.lax.scan(
-            epoch_fn, carry0, None, length=epochs
-        )
-        return theta, state, fe_trace
+    from functools import partial as _partial
 
+    @_partial(jax.jit, static_argnames=("n",))
+    def hyperopt_chunk(carry, n):
+        # the alternation is a scanned program with no host round-trips; the
+        # FE trace is a scan output (VMP state warm-starts across epochs,
+        # seeded with the reference's fresh initialization). Chunked so
+        # single on-device executions stay under the device-tunnel RPC
+        # deadline (~2-3 min) — CPU runs use one chunk.
+        return jax.lax.scan(epoch_fn, carry, None, length=n)
+
+    T = y_train.shape[0]
+    ydt = y_train.dtype  # NOT `dt` — that's the pendulum integration step
+    state0 = GPSSMState(
+        jnp.concatenate([prior_x0_mean[None, :], jnp.zeros((T, D), ydt)], 0),
+        jnp.concatenate(
+            [prior_x0_cov[None, :, :],
+             jnp.tile(50.0 * jnp.eye(D, dtype=ydt), (T, 1, 1))], 0,
+        ),
+        prior_v.xi, prior_v.prec,
+        jnp.asarray(100.0, ydt), jnp.eye(2, dtype=ydt),
+    )
+    chunk = 25 if "--tpu" in sys.argv else epochs
     t0 = time.time()
-    theta, _, fe_trace = hyperopt(theta0)
-    jax.block_until_ready(theta)
+    carry = (theta0, optimizer.init(theta0), state0)
+    fe_chunks = []
+    done = 0
+    while done < epochs:
+        n = min(chunk, epochs - done)
+        carry, fe_c = hyperopt_chunk(carry, n)
+        jax.block_until_ready(fe_c)
+        fe_chunks.append(np.asarray(fe_c))
+        done += n
+    theta, _, _ = carry
     hyperopt_s = time.time() - t0
-    fe_trace = [float(f) for f in fe_trace]
+    fe_trace = [float(f) for f in np.concatenate(fe_chunks)]
     if verbose:
         for ep in range(0, epochs, 25):
             print(f"epoch {ep:4d}  FE={fe_trace[ep]:.2f}", flush=True)
