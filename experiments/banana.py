@@ -102,10 +102,16 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
 
     from gaussianprocessnode_tpu.ops.linalg import ir_solve, spd_inverse_ns, sym
 
-    prec = sym(qv_nat.prec)
-    cov = spd_inverse_ns(prec, iters=60)
-    mu_v = ir_solve(prec, qv_nat.xi, cov, rounds=4).astype(dtype)
-    probs = predict_probit(kernel, theta, Xu, Xte, mu_v, gamma_mean(qw))
+    # posterior recovery + prediction as ONE jitted program (eager, the ~300
+    # small ops each pay the device-tunnel dispatch latency)
+    @jax.jit
+    def recover_and_predict(qv_nat, qw, theta):
+        prec = sym(qv_nat.prec)
+        cov = spd_inverse_ns(prec, iters=60)
+        mu_v = ir_solve(prec, qv_nat.xi, cov, rounds=4).astype(dtype)
+        return predict_probit(kernel, theta, Xu, Xte, mu_v, gamma_mean(qw))
+
+    probs = recover_and_predict(qv_nat, qw, theta)
     pred = (np.asarray(probs) >= 0.5).astype(float)
     errs = float(num_error(yte, pred))
     rate = float(error_rate(yte, pred))

@@ -149,11 +149,24 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         theta, qv_nat, cov64 = train()
         train_s = time.time() - t0
 
-    prec = sym(qv_nat.prec)
-    if cov64 is None:
-        cov64 = spd_inverse_ns(prec, iters=60)
-    mu_v = ir_solve(prec, qv_nat.xi, cov64, rounds=4).astype(dtype)
-    mean, _ = predict_out(kernel, theta, Xu, Xte, mu_v, w_val)
+    # posterior recovery + prediction as ONE jitted program: run eagerly
+    # these ~300 small ops each pay the device-tunnel dispatch latency
+    # (~20 s); fused they are a few milliseconds
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("recompute_cov",))
+    def recover_and_predict(qv_nat, cov64, theta, recompute_cov: bool):
+        prec = sym(qv_nat.prec)
+        if recompute_cov:
+            cov64 = spd_inverse_ns(prec, iters=60)
+        mu_v = ir_solve(prec, qv_nat.xi, cov64, rounds=4).astype(dtype)
+        mean, _ = predict_out(kernel, theta, Xu, Xte, mu_v, w_val)
+        return mean
+
+    recompute = cov64 is None
+    if recompute:
+        cov64 = jnp.zeros_like(qv_nat.prec)
+    mean = recover_and_predict(qv_nat, cov64, theta, recompute)
     score = float(smse(yte, np.asarray(mean)))
     if verbose:
         print(f"SMSE = {score:.6f}  (reference SGP: 0.083431, VSGP: 0.087478)")
