@@ -22,6 +22,9 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeat CLI invocations skip XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np

@@ -31,12 +31,11 @@ import jax
 
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
-else:
-    # persistent compilation cache: the kin40k training program is large
-    # (~10-20 s of XLA compile per executable through the device tunnel);
-    # caching it on disk makes every later invocation start in ~1 s
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compilation cache: the kin40k training program is large
+# (~10-20 s of XLA compile per executable through the device tunnel);
+# caching it on disk makes every later invocation start in ~1 s
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
