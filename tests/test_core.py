@@ -378,6 +378,57 @@ class TestNewtonSchulz:
         X3 = la.spd_inverse_ns(A2, warm=1e6 * jnp.asarray(np.eye(40)), iters=60)
         np.testing.assert_allclose(X3 @ A2, np.eye(40), atol=1e-7)
 
+    def test_spd_inverse_tol_early_exit_matches_full_budget(self):
+        """The residual-tolerance while_loop path (spd_inverse_ns(tol=...))
+        must deliver the same inverse as the fixed-length scan in the
+        f64-convergent regime (κ ≲ 1e8; beyond that the iteration sits at
+        the ε·κ rounding floor and wanders — which is exactly why the
+        kin40k pipeline pairs the NS inverse with iterative refinement for
+        solves, tested below). Kept for non-TPU backends — on this TPU the
+        while_loop's per-iteration dispatch makes it a net loss
+        (DEVIATIONS.md #6)."""
+        for kappa in (1e2, 1e6):
+            d = np.geomspace(1.0, kappa, 50)
+            Q = np.linalg.qr(np.random.default_rng(7).standard_normal((50, 50)))[0]
+            A = jnp.asarray(Q @ np.diag(d) @ Q.T)
+            X_full = la.spd_inverse_ns(A, iters=80)
+            X_tol = la.spd_inverse_ns(A, iters=80, tol=1e-9 * kappa)
+            np.testing.assert_allclose(
+                np.asarray(X_tol), np.asarray(X_full),
+                atol=1e-10 * kappa, rtol=1e-5,
+            )
+            r = np.linalg.norm(np.eye(50) - np.asarray(A) @ np.asarray(X_tol))
+            assert r < 1e-8 * kappa, (kappa, r)
+
+    def test_ir_solve_reaches_f64_accuracy_with_crude_preconditioner(self):
+        """ir_solve must recover the f64 solution even when the approximate
+        inverse is only ~1e-2 accurate (the early-minibatch regime)."""
+        A = random_psd(60, 5.0)
+        x_true = jnp.asarray(np.random.default_rng(8).standard_normal(60))
+        b = A @ x_true
+        M_crude = la.spd_inverse_ns(A, iters=12)  # deliberately unconverged
+        x = la.ir_solve(A, b, M_crude.astype(jnp.float64), rounds=8)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), rtol=1e-9)
+
+    def test_ns_plus_ir_solves_at_kin40k_condition(self):
+        """At κ=5e8 (the kin40k q(v)-precision scale: λmax ≈ w·λmax(KKᵀ)
+        ~1e7, λmin = prior 0.02) the NS inverse converges only to residual
+        ~0.1, but NS + iterative refinement still solves A x = b to ~1e-9
+        relative — the pipeline the fast trainers rely on
+        (infer/minibatch.py). Beyond κ~1e9 with a log-uniform spectrum the
+        NS residual exceeds 1 and IR's safeguard freezes: that regime needs
+        the guard + full-budget restarts the trainers use."""
+        kappa = 5e8
+        d = np.geomspace(1.0, kappa, 50)
+        Q = np.linalg.qr(np.random.default_rng(9).standard_normal((50, 50)))[0]
+        A = jnp.asarray(Q @ np.diag(d) @ Q.T)
+        x_true = jnp.asarray(np.random.default_rng(10).standard_normal(50))
+        b = A @ x_true
+        M_ns = la.spd_inverse_ns(A, iters=60)
+        x = la.ir_solve(A, b, M_ns, rounds=6)
+        rel = float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true))
+        assert rel < 1e-7, rel
+
     def test_spd_inverse_vjp(self):
         A = random_psd(10)
         f_ns = lambda a: jnp.sum(jnp.sin(la.spd_inverse(0.5 * (a + a.T), iters=60)))
