@@ -47,7 +47,6 @@ from gaussianprocessnode_tpu.dists import MvGaussianNat
 from gaussianprocessnode_tpu.infer.chain_smoother import (
     GPSSMState,
     gpssm_vmp,
-    gpssm_vmp_sequential,
     one_step_ahead,
 )
 from gaussianprocessnode_tpu.infer.training import lbfgs_solve

@@ -12,7 +12,7 @@ GEMMs/solves over the whole minibatch — the form XLA tiles onto the MXU.
 import jax
 import jax.numpy as jnp
 
-from .ops.linalg import chol_lower, cholinv, spd_inverse, tri_solve_lower
+from .ops.linalg import chol_lower, spd_inverse, tri_solve_lower
 from .ops.psi import psi_batch_expected_multi, psi_batch_expected_uni
 from .config import JITTER_KUU_SSM
 
