@@ -33,7 +33,11 @@ import numpy as np
 
 from gaussianprocessnode_tpu.dists import GammaShapeRate, MvGaussianNat, gamma_mean
 from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
-from gaussianprocessnode_tpu.infer.minibatch import fit_banana, fit_banana_fast
+from gaussianprocessnode_tpu.infer.minibatch import (
+    fit_banana,
+    fit_banana_fast,
+    init_banana_state,
+)
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.utils.datasets import banana
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
@@ -70,7 +74,9 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
         fast = "--faithful" not in sys.argv
     chunk = 100
     t0 = time.time()
-    state = None
+    # concrete initial carry → every chunk (incl. the first) shares ONE
+    # compiled executable (no separate resume_state=None signature)
+    state = init_banana_state(kernel, theta0, Xu, prior_v, prior_w) if fast else None
     done = 0
     while done < epochs:
         e = min(chunk, epochs - done)

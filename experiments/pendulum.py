@@ -78,14 +78,17 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     P_j = jnp.asarray(P)
     sr = SphericalRadial()
 
-    # lr 0.01 > the reference's Flux default: the FE valley along the second
-    # lengthscale is shallow (FE(θ₃): 481@2.0 → 412@4.75, gradient tiny) and
-    # 0.002 crawls; 0.01 reaches the same basin in ~150 epochs. Decay keeps
-    # the endpoint stable.
-    optimizer = optax.adamax(
-        optax.exponential_decay(0.01, transition_steps=epochs * adamax_steps,
-                                decay_rate=0.2)
-    )
+    # AdaMax M-step (use_lbfgs=False only — the default L-BFGS path carries
+    # no optimizer state). lr 0.01 > the reference's Flux default: the FE
+    # valley along the second lengthscale is shallow (FE(θ₃): 481@2.0 →
+    # 412@4.75, gradient tiny) and 0.002 crawls; 0.01 reaches the same
+    # basin in ~150 epochs. Decay keeps the endpoint stable.
+    optimizer = None
+    if not use_lbfgs:
+        optimizer = optax.adamax(
+            optax.exponential_decay(0.01, transition_steps=epochs * adamax_steps,
+                                    decay_rate=0.2)
+        )
 
     def vmp(theta, init_state=None, compute_fe=True):
         return gpssm_vmp(
@@ -166,7 +169,8 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     )
     chunk = 25 if "--tpu" in sys.argv else epochs
     t0 = time.time()
-    carry = (theta0, optimizer.init(theta0), state0)
+    opt_state0 = optimizer.init(theta0) if optimizer is not None else ()
+    carry = (theta0, opt_state0, state0)
     fe_chunks = []
     done = 0
     while done < epochs:

@@ -143,34 +143,27 @@ def run_kin40k(epochs: int = 2200, m_inducing: int = 512, batch: int = 500,
 
 
 def _collapsed_predict_f64_host(theta, Xu, data, noise, jitter):
-    """f64 collapsed-optimal predictive mean on the HOST (numpy). The
+    """f64 collapsed-optimal predictive mean pinned to the CPU. The
     prediction solve S = Kuu + KuxKuxᵀ/σ² has κ amplified by σ²=0.01, and
     an f32 on-device solve costs ~1.5e-2 of SMSE (measured 0.0973 f32 vs
     0.0827 f64 at the same θ); f64 factorizations on this TPU backend are
-    slow-to-unsupported, so the ONE final solve runs on the CPU."""
-    sp = np.asarray(jnp.asarray(theta, jnp.float64))
-    from gaussianprocessnode_tpu.ops.kernels import softplus as _sp
+    slow-to-unsupported, so the ONE final solve runs the library's
+    :func:`~gaussianprocessnode_tpu.infer.svgp.collapsed_predict` on the
+    host CPU backend in f64."""
+    from gaussianprocessnode_tpu.infer.svgp import collapsed_predict
 
-    sp = np.asarray(_sp(jnp.asarray(sp)))
-    var, ls = sp[0], sp[1:]
-    Xu64 = np.asarray(Xu, np.float64)
-    X64 = np.asarray(data.x_train, np.float64)
-    Xt64 = np.asarray(data.x_test, np.float64)
-    y64 = np.asarray(data.y_train, np.float64)
-
-    def gram(A, B):
-        As, Bs = A / ls, B / ls
-        d2 = ((As * As).sum(1)[:, None] + (Bs * Bs).sum(1)[None, :]
-              - 2.0 * As @ Bs.T)
-        return var * np.exp(-0.5 * np.maximum(d2, 0.0))
-
-    M = Xu64.shape[0]
-    Kuu = gram(Xu64, Xu64) + jitter * np.eye(M)
-    Kux = gram(Xu64, X64)
-    Kut = gram(Xu64, Xt64)
-    S = Kuu + Kux @ Kux.T / noise
-    mu_u = Kuu @ np.linalg.solve(S, Kux @ y64 / noise)
-    return Kut.T @ np.linalg.solve(Kuu, mu_u)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pred = collapsed_predict(
+            KERNEL,
+            jnp.asarray(np.asarray(theta), jnp.float64),
+            jnp.asarray(np.asarray(Xu), jnp.float64),
+            jnp.asarray(data.x_test, jnp.float64),
+            jnp.asarray(data.x_train, jnp.float64),
+            jnp.asarray(data.y_train, jnp.float64),
+            noise, jitter=jitter,
+        )
+    return np.asarray(pred)
 
 
 def run_kin40k_collapsed(steps: int = 400, eval_every: int = 25,

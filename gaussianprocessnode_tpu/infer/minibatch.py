@@ -36,6 +36,7 @@ __all__ = [
     "init_kin40k_fast_state",
     "fit_banana",
     "fit_banana_fast",
+    "init_banana_state",
 ]
 
 # Newton–Schulz budgets: the q(v) precision and Kuu change little between
@@ -270,6 +271,43 @@ def fit_banana(
     )
 
 
+@partial(jax.jit, static_argnames=("kernel",))
+def _init_banana_arrays(kernel, theta0, Xu, prior_v: MvGaussianNat):
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    kuu_jit = effective_jitter(dt)
+    kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit),
+                           iters=NS_ITERS_WARMUP)
+    cov0 = spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP)
+    return kuu_inv0, cov0
+
+
+def init_banana_state(kernel, theta0, Xu, prior_v: MvGaussianNat,
+                      prior_w: GammaShapeRate, optimizer=None):
+    """Initial carry for :func:`fit_banana_fast` (and drop-in for
+    :func:`fit_banana`'s fresh start with the same priors). Exposed so
+    chunked drivers can build it once host-side and always pass a concrete
+    ``resume_state`` — one trace/executable for every chunk instead of a
+    separate compile for the ``resume_state=None`` signature.
+
+    ``optimizer`` must match the trainer's chain; the default reproduces it
+    for the trainers' constant-lr AdaMax."""
+    if optimizer is None:
+        optimizer = optax.chain(
+            optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(1e-3)
+        )
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    kuu_inv0, cov0 = _init_banana_arrays(kernel, theta0, Xu, prior_v)
+    return MinibatchCarry(
+        prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+        cov0, kuu_inv0,
+        theta0, optimizer.init(theta0),
+        jnp.asarray(prior_w.shape, acc_dt),
+        jnp.asarray(prior_w.rate, acc_dt),
+    )
+
+
 @partial(jax.jit, static_argnames=(
     "kernel", "epochs", "learning_rate", "refresh_ns_iters", "obj_ns_iters",
 ))
@@ -380,14 +418,8 @@ def fit_banana_fast(
         ), None
 
     if resume_state is None:
-        kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
-        carry0 = MinibatchCarry(
-            prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
-            spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
-            theta0, optimizer.init(theta0),
-            jnp.asarray(prior_w.shape, acc_dt),
-            jnp.asarray(prior_w.rate, acc_dt),
-        )
+        carry0 = init_banana_state(kernel, theta0, Xu, prior_v, prior_w,
+                                   optimizer=optimizer)
     else:
         carry0 = resume_state
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
@@ -474,6 +506,12 @@ def fit_kin40k_fast(
 
     B = X_batched.shape[0]
     groups = max(1, min(stats_refreshes, B))
+    if B % groups != 0:
+        raise ValueError(
+            f"stats_refreshes={stats_refreshes} does not divide the batch "
+            f"count B={B}: the trailing {B % groups} batches would be "
+            "silently dropped from the statistics and θ-steps"
+        )
     gsz = B // groups
     Xg = X_batched[: groups * gsz].reshape(groups, gsz * X_batched.shape[1], -1)
     yg = y_batched[: groups * gsz].reshape(groups, gsz * X_batched.shape[1])

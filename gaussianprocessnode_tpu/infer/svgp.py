@@ -199,18 +199,9 @@ def fit_svgp_collapsed(
 
     Returns (θ, -elbo trace).
     """
-    optimizer = optax.chain(optax.zero_nans(), optax.adamax(learning_rate))
-    loss = lambda th: collapsed_neg_elbo(kernel, th, Xu, X, y, noise, jitter)
-    vg = jax.value_and_grad(loss)
-
-    def step(carry, _):
-        th, os_ = carry
-        v, g = vg(th)
-        upd, os_ = optimizer.update(g, os_, th)
-        return (optax.apply_updates(th, upd), os_), v
-
-    (theta, opt_state), trace = jax.lax.scan(
-        step, (theta0, optimizer.init(theta0)), None, length=steps
+    theta, _, trace = fit_svgp_collapsed_resumable(
+        kernel, theta0, collapsed_opt_init(theta0, learning_rate), Xu, X, y,
+        noise, steps=steps, learning_rate=learning_rate, jitter=jitter,
     )
     return theta, trace
 
