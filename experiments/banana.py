@@ -87,7 +87,7 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
                     # one grand f64 NS per epoch, 20 f32 θ-steps on frozen
                     # stats — same fixed point as the per-batch schedule
                     theta, qv_nat, qw, state_new = fit_banana_fast(
-                        kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v,
+                        kernel, theta0, Xu, Xb, yb, prior_v,
                         prior_w, e, resume_state=state
                     )
                 else:

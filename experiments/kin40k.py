@@ -129,7 +129,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
             state0 = init_kin40k_fast_state(theta0, prior_v, M, groups)
             theta, qv_nat, cov64, state = _chunked(
                 lambda e, st: fit_kin40k_fast(
-                    kernel, theta0, Xu, Xtr, ytr, Xb, yb, prior_v, w_val, e,
+                    kernel, theta0, Xu, Xb, yb, prior_v, w_val, e,
                     learning_rate=learning_rate, stats_refreshes=stats_refreshes,
                     resume_state=st,
                 ),

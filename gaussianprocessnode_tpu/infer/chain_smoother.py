@@ -60,11 +60,11 @@ class GPSSMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    L = chol_lower(sym(prec))
-    eye = jnp.eye(prec.shape[0], dtype=prec.dtype)
-    cov = sym(chol_solve(L, eye))
-    mu = chol_solve(L, xi)
-    return mu, cov
+    # single natural-to-moments conversion lives in dists.mv_nat_to_meancov
+    from ..dists import MvGaussianNat as _Nat, mv_nat_to_meancov as _conv
+
+    q = _conv(_Nat(xi, prec))
+    return q.mean, q.cov
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
@@ -96,7 +96,6 @@ def gpssm_vmp(
     sr = quad.SphericalRadial()
 
     Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
-    args = MultiSGPArgs(theta, Xu, Kuu_inv)
 
     P_inv = cholinv(sym(P))
     obs_xi = ys @ P_inv.T  # (T, D)
@@ -111,8 +110,6 @@ def gpssm_vmp(
     x_covs0 = jnp.concatenate(
         [prior_x0_cov[None, :, :], jnp.tile(init_x_cov_scale * jnp.eye(D, dtype=dt), (T, 1, 1))], 0
     )
-    mu_v0, cov_v0 = _qv_stats(prior_v.xi, prior_v.prec)
-
     def sweep(state: GPSSMState, _):
         mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
         Rv = cov_v + jnp.outer(mu_v, mu_v)

@@ -41,11 +41,11 @@ class GPLVMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    L = chol_lower(sym(prec))
-    eye = jnp.eye(prec.shape[0], dtype=prec.dtype)
-    cov = sym(chol_solve(L, eye))
-    mu = chol_solve(L, xi)
-    return mu, cov
+    # single natural-to-moments conversion lives in dists.mv_nat_to_meancov
+    from ..dists import MvGaussianNat as _Nat, mv_nat_to_meancov as _conv
+
+    q = _conv(_Nat(xi, prec))
+    return q.mean, q.cov
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "laplace_steps", "compute_fe"))
@@ -119,9 +119,16 @@ def gplvm_vmp(
 
             m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
             W_z = jax.hessian(neg_log)(m_z)
-            # guard: non-PSD Hessian → fall back to zero-precision message
-            ok = jnp.all(jnp.diagonal(W_z) > 0) & jnp.all(jnp.isfinite(W_z))
-            W_z = jnp.where(ok, W_z, jnp.zeros_like(W_z))
+            # guard: non-PSD Hessian → fall back to zero-precision message.
+            # A positive diagonal does NOT imply PSD (e.g. [[1,2],[2,1]]);
+            # check the actual smallest eigenvalue (Din is tiny, eigh is
+            # cheap) or a later cholinv silently returns NaN and poisons
+            # the whole GPLVM state
+            W_sym = 0.5 * (W_z + W_z.T)
+            ok = (jnp.min(jnp.linalg.eigvalsh(W_sym)) > 0) & jnp.all(
+                jnp.isfinite(W_z)
+            )
+            W_z = jnp.where(ok, W_sym, jnp.zeros_like(W_z))
             # product with the prior (natural params)
             prec = x_prior_prec + W_z
             cov = cholinv(sym(prec))

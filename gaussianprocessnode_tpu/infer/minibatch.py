@@ -41,10 +41,21 @@ __all__ = [
 
 # Newton–Schulz budgets: the q(v) precision and Kuu change little between
 # consecutive batches, so a warm start + few iterations suffices in steady
-# state; the first (warmup) epoch uses a bigger budget to cold-start the
-# estimates. The branchless guard in spd_inverse rejects stale warm starts.
+# state. The branchless guard in spd_inverse rejects stale warm starts.
 NS_ITERS_WARMUP = 40
 NS_ITERS_STEADY = 8
+
+
+def default_optimizer(learning_rate=1e-3):
+    """The trainers' shared AdaMax chain. zero_nans + clipping guard the
+    max-accumulator: a single inf/nan gradient (possible in cold-start
+    batches) would otherwise freeze u at inf and zero every later update.
+    init_* state builders MUST use this same chain or a host-built
+    resume_state's opt_state pytree silently mismatches."""
+    return optax.chain(
+        optax.zero_nans(), optax.clip_by_global_norm(1e8),
+        optax.adamax(learning_rate),
+    )
 
 
 class MinibatchCarry(NamedTuple):
@@ -58,7 +69,7 @@ class MinibatchCarry(NamedTuple):
     w_rate: jax.Array
 
 
-@partial(jax.jit, static_argnames=("kernel", "epochs", "warmup_epochs"))
+@partial(jax.jit, static_argnames=("kernel", "epochs"))
 def fit_kin40k(
     kernel,
     theta0,
@@ -69,7 +80,6 @@ def fit_kin40k(
     w_val: float,
     epochs: int,
     learning_rate: float = 0.001,
-    warmup_epochs: int = 1,
     resume_state: MinibatchCarry | None = None,
 ):
     """kin40k trainer (reference: regression_kin40k.ipynb cells 9-10):
@@ -80,9 +90,7 @@ def fit_kin40k(
     # zero_nans + clipping guard the AdaMax max-accumulator: a single inf/nan
     # gradient (possible in the first cold-start batches) would otherwise
     # freeze u at inf and zero every later update
-    optimizer = optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
-    )
+    optimizer = default_optimizer(learning_rate)
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
@@ -90,7 +98,7 @@ def fit_kin40k(
 
     kuu_jit = effective_jitter(theta0.dtype)
 
-    def make_epoch(ns_iters):
+    def make_epoch(ns_iters):  # ns budget is uniform; kept as a closure arg
         def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
             return neg_log_backwardmess_gram(
                 th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
@@ -109,8 +117,11 @@ def fit_kin40k(
             # μ_v is recovered to f64 accuracy by iterative refinement with
             # one f64 mat-vec per round.
             Kux64 = Kux.astype(acc_dt)
-            xi = carry.xi_v + w_val * (Kux64 @ yb.astype(acc_dt))
-            prec = carry.prec_v + w_val * (Kux64 @ Kux64.T)
+            # full-precision products: a no-op in f64, but in the f32 fast
+            # mode (GPNODE_X64=0) the default bf16 passes (ε≈8e-3) break the
+            # PSD-ness Λ needs for the Newton–Schulz inverse
+            xi = carry.xi_v + w_val * jnp.matmul(Kux64, yb.astype(acc_dt), precision=hi)
+            prec = carry.prec_v + w_val * jnp.matmul(Kux64, Kux64.T, precision=hi)
             # q(v) inverse in the ACCUMULATOR dtype: κ(Λ) ~ 1e9 exceeds
             # 1/ε₃₂, an f32 estimate poisons Rv and the θ-gradient
             cov64 = spd_inverse(sym(prec), warm=carry.cov_v, iters=ns_iters)
@@ -145,14 +156,10 @@ def fit_kin40k(
     )
     if resume_state is not None:
         carry0 = resume_state
-        warmup = 0
-    else:
-        warmup = min(warmup_epochs, epochs)
-    carry = carry0
-    if warmup:
-        carry, _ = jax.lax.scan(make_epoch(60), carry, None, length=warmup)
-    if epochs > warmup:
-        carry, _ = jax.lax.scan(make_epoch(60), carry, None, length=epochs - warmup)
+    # one scan program for the whole run (a separate warmup-budget scan was
+    # dead weight: both branches used the same 60-iteration NS budget, so a
+    # fresh call compiled the large epoch program twice for no difference)
+    carry, _ = jax.lax.scan(make_epoch(60), carry0, None, length=epochs)
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 
@@ -178,9 +185,7 @@ def fit_banana(
     reference's per-epoch resets are commented out). Mixed precision as in
     fit_kin40k: f64 (ξ, Λ) + Newton–Schulz/IR solves, f32 Grams.
     Returns (θ, q(v) nat, q(w))."""
-    optimizer = optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
-    )
+    optimizer = default_optimizer(learning_rate)
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
@@ -213,8 +218,8 @@ def fit_banana(
         f_var = jnp.full_like(f_fwd, 1.0 / w_mean.astype(dt))
         qf = probit_node.tilted_marginal_batch(f_fwd, f_var, yb)
         # q(v) update with pseudo-targets E[f]; PSD-exact f64 products
-        xi = carry.xi_v + w_mean * (Kux64 @ qf.mean.astype(acc_dt))
-        prec = sym(carry.prec_v + w_mean * (Kux64 @ Kux64.T))
+        xi = carry.xi_v + w_mean * jnp.matmul(Kux64, qf.mean.astype(acc_dt), precision=hi)
+        prec = sym(carry.prec_v + w_mean * jnp.matmul(Kux64, Kux64.T, precision=hi))
         # q(v) accumulates ACROSS batches here (no epoch reset), so in steady
         # state the per-batch precision increment is O(1/(B·epoch)) relative
         # and the previous batch's inverse is an excellent warm start — the
@@ -253,13 +258,10 @@ def fit_banana(
         return carry, None
 
     if resume_state is None:
-        kuu_inv0 = spd_inverse(kernel.kuu(theta0, Xu, jitter=kuu_jit), iters=NS_ITERS_WARMUP)
-        carry0 = MinibatchCarry(
-            prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
-            spd_inverse(sym(prior_v.prec).astype(acc_dt), iters=NS_ITERS_WARMUP), kuu_inv0,
-            theta0, optimizer.init(theta0),
-            jnp.asarray(1e-2, acc_dt), jnp.asarray(1e-2, acc_dt),
-        )
+        # init_banana_state honors prior_w (this used to hardcode 1e-2,
+        # silently ignoring any non-default Gamma prior)
+        carry0 = init_banana_state(kernel, theta0, Xu, prior_v, prior_w,
+                                   optimizer=optimizer)
     else:
         carry0 = resume_state
     carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
@@ -293,9 +295,7 @@ def init_banana_state(kernel, theta0, Xu, prior_v: MvGaussianNat,
     ``optimizer`` must match the trainer's chain; the default reproduces it
     for the trainers' constant-lr AdaMax."""
     if optimizer is None:
-        optimizer = optax.chain(
-            optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(1e-3)
-        )
+        optimizer = default_optimizer()
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
     kuu_inv0, cov0 = _init_banana_arrays(kernel, theta0, Xu, prior_v)
@@ -315,10 +315,8 @@ def fit_banana_fast(
     kernel,
     theta0,
     Xu,
-    X,  # (N, 2) full training inputs
-    y,  # (N,) in {0,1}
-    X_batched,  # (B, batch, 2) — same data, pre-batched for the θ steps
-    y_batched,
+    X_batched,  # (B, batch, 2)
+    y_batched,  # (B, batch) in {0,1}
     prior_v: MvGaussianNat,
     prior_w: GammaShapeRate,
     epochs: int,
@@ -349,13 +347,16 @@ def fit_banana_fast(
     converge to the same mean-field fixed point (equivalence tested at
     matched budgets in tests/test_minibatch.py).
     """
-    optimizer = optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(learning_rate)
-    )
+    optimizer = default_optimizer(learning_rate)
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
     hi = jax.lax.Precision.HIGHEST
+    # grand arrays derived FROM the batches: a separately-passed (X, y)
+    # invited silent (x, f) mispairing whenever the caller shuffled when
+    # pre-batching — structurally impossible this way
+    X = X_batched.reshape(-1, X_batched.shape[-1])
+    y = y_batched.reshape(-1)
     N = X.shape[0]
     kuu_jit = effective_jitter(dt)
 
@@ -380,8 +381,8 @@ def fit_banana_fast(
         qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y)
         # ONE grand q(v) update (accumulating across epochs, PSD-exact f64)
         w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
-        xi = carry.xi_v + w64 * (Kall64 @ qf.mean.astype(acc_dt))
-        prec = sym(carry.prec_v + w64 * (Kall64 @ Kall64.T))
+        xi = carry.xi_v + w64 * jnp.matmul(Kall64, qf.mean.astype(acc_dt), precision=hi)
+        prec = sym(carry.prec_v + w64 * jnp.matmul(Kall64, Kall64.T, precision=hi))
         cov = spd_inverse(prec, warm=carry.cov_v, iters=refresh_ns_iters)
         mu64 = ir_solve(prec, xi, cov, rounds=2)
         mu_v = mu64.astype(dt)
@@ -399,9 +400,7 @@ def fit_banana_fast(
         w_shape = (carry.w_shape + 0.5 * N).astype(acc_dt)
         w_rate = (carry.w_rate + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
         # 20 AdaMax θ-steps against the frozen epoch statistics
-        qf_b = qf.mean[: X_batched.shape[0] * X_batched.shape[1]].reshape(
-            X_batched.shape[0], X_batched.shape[1]
-        )
+        qf_b = qf.mean.reshape(X_batched.shape[0], X_batched.shape[1])
 
         def theta_step(tc, batch):
             th, os_, kw = tc
@@ -439,10 +438,8 @@ def fit_kin40k_fast(
     kernel,
     theta0,
     Xu,
-    X,  # (N, Din) full training inputs
-    y,  # (N,)
-    X_batched,  # (B, batch, Din) — same data, pre-batched for the θ steps
-    y_batched,
+    X_batched,  # (B, batch, Din)
+    y_batched,  # (B, batch)
     prior_v: MvGaussianNat,
     w_val: float,
     epochs: int,
@@ -481,9 +478,7 @@ def fit_kin40k_fast(
         )
     else:
         lr = learning_rate
-    optimizer = optax.chain(
-        optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(lr)
-    )
+    optimizer = default_optimizer(lr)
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
@@ -531,8 +526,8 @@ def fit_kin40k_fast(
             Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
             # Gram PRODUCT in f64 on the f32 Gram: exact-PSD (f32 product
             # rounding ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS)
-            xi = xi + w_val * (Kall @ yg_.astype(acc_dt))
-            prec = sym(prec + w_val * (Kall @ Kall.T))
+            xi = xi + w_val * jnp.matmul(Kall, yg_.astype(acc_dt), precision=hi)
+            prec = sym(prec + w_val * jnp.matmul(Kall, Kall.T, precision=hi))
             # warm start from the SAME group's inverse in the PREVIOUS epoch:
             # the precision at group g is prior + g/G of a grand update, so
             # the previous *group's* estimate is off by an O(1) rank-B term
@@ -597,9 +592,7 @@ def init_kin40k_fast_state(theta0, prior_v, M, groups, optimizer=None,
     for a constant learning rate (pass your own when ``lr_decay_rate`` ≠ 1,
     whose schedule state has a different pytree structure)."""
     if optimizer is None:
-        optimizer = optax.chain(
-            optax.zero_nans(), optax.clip_by_global_norm(1e8), optax.adamax(1e-3)
-        )
+        optimizer = default_optimizer()
     obj_dt = theta0.dtype if obj_dt is None else obj_dt
     if acc_dt is None:
         acc_dt = jnp.float64 if jax.config.jax_enable_x64 else obj_dt

@@ -253,8 +253,9 @@ def ir_solve(A64: jax.Array, b64: jax.Array, M32: jax.Array, rounds: int = 3) ->
         return b64 - jnp.matmul(A64, x, precision=hi)
 
     def body(carry, _):
-        x, rnorm = carry
-        r = resid(x)
+        # the residual of the CURRENT iterate rides in the carry, so each
+        # round costs exactly one f64 mat-vec (resid of the candidate)
+        x, r, rnorm = carry
         dx = jnp.matmul(M32, r.astype(M32.dtype), precision=hi)
         x_new = x + dx.astype(b64.dtype)
         r_new = resid(x_new)
@@ -263,10 +264,13 @@ def ir_solve(A64: jax.Array, b64: jax.Array, M32: jax.Array, rounds: int = 3) ->
         # refinement diverges — keep the previous iterate in that case
         ok = rn_new < rnorm
         x = jnp.where(ok, x_new, x)
-        return (x, jnp.minimum(rn_new, rnorm)), None
+        r = jnp.where(ok, r_new, r)
+        return (x, r, jnp.minimum(rn_new, rnorm)), None
 
     r0 = resid(x)
-    (x, _), _ = jax.lax.scan(body, (x, jnp.sum(r0 * r0)), None, length=rounds)
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, r0, jnp.sum(r0 * r0)), None, length=rounds
+    )
     return x
 
 

@@ -56,7 +56,7 @@ class TestKin40kTrainer:
             KER, THETA0, XU, XB, YB, PRIOR_V, W_TRUE, 1
         )
         th_g, qv_g, cov, _ = fit_kin40k_fast(
-            KER, THETA0, XU, X, Y, XB, YB, PRIOR_V, W_TRUE, 1,
+            KER, THETA0, XU, XB, YB, PRIOR_V, W_TRUE, 1,
             stats_refreshes=B,
         )
         # q(v) natural params identical (same sums at nearly-identical θ)
@@ -69,7 +69,7 @@ class TestKin40kTrainer:
         from gaussianprocessnode_tpu.utils.metrics import smse
 
         th, qv, cov, _ = fit_kin40k_fast(
-            KER, THETA0, XU, X, Y, XB, YB, PRIOR_V, W_TRUE, 40, stats_refreshes=2
+            KER, THETA0, XU, XB, YB, PRIOR_V, W_TRUE, 40, stats_refreshes=2
         )
         mu = ir_solve(sym(qv.prec), qv.xi, cov, rounds=3).astype(X.dtype)
         mean, _ = predict_out(KER, th, XU, X, mu, W_TRUE)
@@ -125,7 +125,7 @@ class TestBananaFastTrainer:
         X2, y2, Xu2, Xb2, yb2, pv, pw, th0 = self._setup()
         th_a, qv_a, qw_a, _ = fit_banana(KER, th0, Xu2, Xb2, yb2, pv, pw, 40)
         th_b, qv_b, qw_b, _ = fit_banana_fast(
-            KER, th0, Xu2, X2, y2, Xb2, yb2, pv, pw, 40
+            KER, th0, Xu2, Xb2, yb2, pv, pw, 40
         )
         mu_a = np.linalg.solve(np.asarray(qv_a.prec), np.asarray(qv_a.xi))
         mu_b = np.linalg.solve(np.asarray(qv_b.prec), np.asarray(qv_b.xi))
@@ -143,12 +143,12 @@ class TestBananaFastTrainer:
 
         X2, y2, Xu2, Xb2, yb2, pv, pw, th0 = self._setup()
         th_a, qv_a, qw_a, _ = fit_banana_fast(
-            KER, th0, Xu2, X2, y2, Xb2, yb2, pv, pw, 8
+            KER, th0, Xu2, Xb2, yb2, pv, pw, 8
         )
         st = None
         for _ in range(2):
             th_b, qv_b, qw_b, st = fit_banana_fast(
-                KER, th0, Xu2, X2, y2, Xb2, yb2, pv, pw, 4, resume_state=st
+                KER, th0, Xu2, Xb2, yb2, pv, pw, 4, resume_state=st
             )
         np.testing.assert_allclose(np.asarray(th_b), np.asarray(th_a), rtol=1e-8)
         np.testing.assert_allclose(
