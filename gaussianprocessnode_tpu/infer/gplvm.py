@@ -48,6 +48,19 @@ def _qv_stats(xi, prec):
     return q.mean, q.cov
 
 
+def laplace_precision_guard(W_z: jax.Array) -> jax.Array:
+    """Branchless PSD guard for a Laplace-message precision: returns the
+    symmetrized Hessian if it is PD and finite, else zeros (a flat message —
+    the marginal falls back to its prior side, mirroring the reference's
+    NaN fallback semantics). A positive DIAGONAL does not imply PSD (e.g.
+    [[1,2],[2,1]]); the smallest eigenvalue is checked (Din is tiny, eigh
+    is cheap) because a later cholinv of an indefinite precision silently
+    returns NaN and poisons the whole GPLVM state."""
+    W_sym = 0.5 * (W_z + W_z.T)
+    ok = (jnp.min(jnp.linalg.eigvalsh(W_sym)) > 0) & jnp.all(jnp.isfinite(W_z))
+    return jnp.where(ok, W_sym, jnp.zeros_like(W_z))
+
+
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "laplace_steps", "compute_fe"))
 def gplvm_vmp(
     kernel,
@@ -118,17 +131,7 @@ def gplvm_vmp(
             from .training import lbfgs_solve
 
             m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
-            W_z = jax.hessian(neg_log)(m_z)
-            # guard: non-PSD Hessian → fall back to zero-precision message.
-            # A positive diagonal does NOT imply PSD (e.g. [[1,2],[2,1]]);
-            # check the actual smallest eigenvalue (Din is tiny, eigh is
-            # cheap) or a later cholinv silently returns NaN and poisons
-            # the whole GPLVM state
-            W_sym = 0.5 * (W_z + W_z.T)
-            ok = (jnp.min(jnp.linalg.eigvalsh(W_sym)) > 0) & jnp.all(
-                jnp.isfinite(W_z)
-            )
-            W_z = jnp.where(ok, W_sym, jnp.zeros_like(W_z))
+            W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
             # product with the prior (natural params)
             prec = x_prior_prec + W_z
             cov = cholinv(sym(prec))

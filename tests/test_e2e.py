@@ -187,3 +187,28 @@ class TestSequentialSmoother:
             np.asarray(st_s.x_means), np.asarray(st_j.x_means), atol=0.05
         )
         assert abs(float(fe_s) - float(fe_j)) < 10.0
+
+
+class TestLaplaceGuard:
+    def test_indefinite_hessian_with_positive_diagonal_is_rejected(self):
+        """Regression for the GPLVM Laplace guard: [[1,2],[2,1]] has a
+        positive diagonal but a negative eigenvalue — the old diagonal-only
+        check let it through to cholinv, which silently returned NaN and
+        poisoned the whole GPLVM state."""
+        import jax.numpy as jnp
+
+        from gaussianprocessnode_tpu.infer.gplvm import laplace_precision_guard
+
+        W = jnp.asarray([[1.0, 2.0], [2.0, 1.0]])
+        np.testing.assert_array_equal(
+            np.asarray(laplace_precision_guard(W)), np.zeros((2, 2))
+        )
+        # PD input passes through (symmetrized)
+        Wpd = jnp.asarray([[2.0, 0.5], [0.49, 2.0]])
+        out = np.asarray(laplace_precision_guard(Wpd))
+        np.testing.assert_allclose(out, 0.5 * (np.asarray(Wpd) + np.asarray(Wpd).T))
+        # non-finite input is rejected
+        Wnan = jnp.asarray([[jnp.nan, 0.0], [0.0, 1.0]])
+        np.testing.assert_array_equal(
+            np.asarray(laplace_precision_guard(Wnan)), np.zeros((2, 2))
+        )
