@@ -8,8 +8,10 @@ batch shape — the form that matters for production: one MXU Gram + one
 mat-vec per request batch, no per-request host work, state recovered from a
 trainer's natural parameters exactly once at build time.
 
-Throughput on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32): ~10⁷
-predictions/second at batch 30,000 (see ``throughput``).
+Measured on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32): 24.8M
+predictions/second at batch 30,000 (0.57M at batch 1,000 — small batches
+are dispatch-bound); the reference's golden kin40k posterior served
+through the handle reproduces its recorded SMSE to 4e-6 in f32.
 """
 
 from dataclasses import dataclass
