@@ -80,3 +80,18 @@ def test_dp_train_step_matches_single_device():
     upd, _ = optimizer.update(g, optimizer.init(THETA), THETA)
     theta_ref = optax.apply_updates(THETA, upd)
     np.testing.assert_allclose(theta_dp, theta_ref, atol=1e-8)
+
+
+def test_dp_sweep_invariant_to_mesh_size():
+    """The psum'd natural parameters must be identical (to round-off) on
+    1-, 2-, 4- and 8-device meshes — the collective is a pure data sum, so
+    the device partitioning cannot change the result."""
+    results = []
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        Xs, ys = shard_data(mesh, X, Y)
+        _, _, nat = dp_regression_sweep(KER, THETA, XU, Xs, ys, PRIOR, W, mesh)
+        results.append((np.asarray(nat.xi), np.asarray(nat.prec)))
+    for xi, prec in results[1:]:
+        np.testing.assert_allclose(xi, results[0][0], rtol=1e-10)
+        np.testing.assert_allclose(prec, results[0][1], rtol=1e-10)
