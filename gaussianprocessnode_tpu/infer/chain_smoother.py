@@ -30,6 +30,7 @@ from ..dists import (
     MvGaussianNat,
     WishartFast,
     mv_gaussian_entropy,
+    mv_nat_to_meancov,
     wishart_entropy,
     wishart_mean,
     wishart_mean_logdet,
@@ -60,10 +61,9 @@ class GPSSMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    # single natural-to-moments conversion lives in dists.mv_nat_to_meancov
-    from ..dists import MvGaussianNat as _Nat, mv_nat_to_meancov as _conv
-
-    q = _conv(_Nat(xi, prec))
+    """(ξ, Λ) → (μ, Σ): thin adapter over dists.mv_nat_to_meancov (the one
+    natural-to-moments conversion in the package)."""
+    q = mv_nat_to_meancov(MvGaussianNat(xi, prec))
     return q.mean, q.cov
 
 

@@ -23,11 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import JITTER_KUU_SSM
-from ..dists import MvGaussian, mv_gaussian_entropy
+from ..dists import MvGaussian, MvGaussianNat, mv_gaussian_entropy, mv_nat_to_meancov
 from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
-from ..ops.linalg import chol_lower, chol_solve, cholinv, sym
+from ..ops.linalg import cholinv, sym
 from .batch_vmp import prior_energy_mvn
 
 _LOG2PI = float(jnp.log(2.0 * jnp.pi))
@@ -41,10 +41,9 @@ class GPLVMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    # single natural-to-moments conversion lives in dists.mv_nat_to_meancov
-    from ..dists import MvGaussianNat as _Nat, mv_nat_to_meancov as _conv
-
-    q = _conv(_Nat(xi, prec))
+    """(ξ, Λ) → (μ, Σ): thin adapter over dists.mv_nat_to_meancov (the one
+    natural-to-moments conversion in the package)."""
+    q = mv_nat_to_meancov(MvGaussianNat(xi, prec))
     return q.mean, q.cov
 
 

@@ -27,7 +27,7 @@ from .ops.linalg import ir_solve, spd_inverse_ns, sym
 __all__ = ["SGPRegressor", "SGPClassifier", "throughput"]
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("ns_iters", "ir_rounds"))
 def _recover_mu_v(nat: MvGaussianNat, ns_iters: int = 60, ir_rounds: int = 4):
     """μ_v from natural parameters (matmul-only NS + iterative refinement;
     f64 accuracy at the trainers' κ ~ 1e9 — see ops/linalg tests)."""
