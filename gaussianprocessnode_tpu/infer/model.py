@@ -73,6 +73,15 @@ class SGPRegression:
             self.kernel, theta, self.Xu, X_test, result.qv.mean, w
         )
 
+    def predictor(self, theta, result):
+        """Frozen serving handle for the inferred posterior (serve.py)."""
+        from ..serve import SGPRegressor
+
+        w = self.w_fixed if self.w_fixed is not None else gamma_mean(result.qw)
+        return SGPRegressor.from_natural(
+            self.kernel, theta, self.Xu, result.qv_nat, float(w)
+        )
+
 
 @dataclass(frozen=True)
 class SGPClassification:
@@ -112,6 +121,14 @@ class SGPClassification:
         return batch_vmp.predict_probit(
             self.kernel, theta, self.Xu, X_test, result.qv.mean,
             gamma_mean(result.qw),
+        )
+
+    def predictor(self, theta, result):
+        """Frozen serving handle for the inferred posterior (serve.py)."""
+        from ..serve import SGPClassifier
+
+        return SGPClassifier.from_natural(
+            self.kernel, theta, self.Xu, result.qv_nat, result.qw
         )
 
 

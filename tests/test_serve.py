@@ -84,3 +84,37 @@ class TestClassifierHandle:
         np.testing.assert_array_equal(
             np.asarray(labels), (np.asarray(probs) >= 0.5).astype(float)
         )
+
+
+class TestModelApiIntegration:
+    def test_model_front_end_returns_working_handles(self):
+        """SGPRegression/SGPClassification .predictor() must serve the same
+        predictions as their .predict()/.predict_proba() on the inferred
+        posterior."""
+        from gaussianprocessnode_tpu.infer.model import (
+            SGPClassification,
+            SGPRegression,
+        )
+
+        rng = np.random.default_rng(5)
+        X = jnp.asarray(np.linspace(-3, 3, 40)[:, None])
+        y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.standard_normal(40))
+        Xu = X[::4]
+        theta = invsoftplus(jnp.asarray([1.0, 1.0]))
+
+        reg = SGPRegression(KER, Xu)
+        res = reg.infer(theta, X, y)
+        pred = reg.predictor(theta, res)
+        m_handle, _ = pred(X)
+        m_direct, _ = reg.predict(theta, res, X)
+        np.testing.assert_allclose(np.asarray(m_handle), np.asarray(m_direct),
+                                   rtol=1e-6, atol=1e-8)
+
+        yc = jnp.asarray((np.asarray(y) > 0).astype(float))
+        clf_model = SGPClassification(KER, Xu)
+        res_c = clf_model.infer(theta, X, yc)
+        clf = clf_model.predictor(theta, res_c)
+        p_handle = clf.probabilities(X)
+        p_direct = clf_model.predict_proba(theta, res_c, X)
+        np.testing.assert_allclose(np.asarray(p_handle), np.asarray(p_direct),
+                                   rtol=1e-6, atol=1e-8)
