@@ -12,6 +12,8 @@ the reference's ``prod(GenericProd, …)`` dispatch becomes plain functions.
 
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -172,7 +174,9 @@ def wishart_mean_logdet(q):
 # Entropies (for free-energy evaluation: FE = Σ U_node − Σ H(q))
 # ---------------------------------------------------------------------------
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 def gaussian_entropy(q: Gaussian):

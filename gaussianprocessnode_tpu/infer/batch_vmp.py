@@ -18,6 +18,8 @@ FE = Σ node energies + prior energies − Σ entropies.
 from functools import partial
 from typing import NamedTuple, Optional
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +41,9 @@ from ..nodes.unisgp import UniSGPArgs
 from ..ops.linalg import chol_lower, chol_solve, chol_upper, logdet_from_chol, sym
 from ..ops.psi import psi_batch_exact
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 class VMPResult(NamedTuple):

@@ -21,6 +21,8 @@ All per-t work is batched: ONE Gram over all T·(2D) sigma points per sweep.
 from functools import partial
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -48,7 +50,9 @@ from ..ops.linalg import (
 )
 from .batch_vmp import prior_energy_mvn
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 class GPSSMState(NamedTuple):

@@ -19,6 +19,8 @@ prior energies − entropies.
 from functools import partial
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +32,9 @@ from ..ops import quadrature as quad
 from ..ops.linalg import cholinv, sym
 from .batch_vmp import prior_energy_mvn
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 class GPLVMState(NamedTuple):

@@ -14,6 +14,8 @@ rules contract against Kuu⁻¹ rather than solving per datum.
 
 from typing import Callable, NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -22,7 +24,9 @@ from ..ops import psi as psiops
 from ..ops import quadrature as quad
 from ..ops.linalg import block_trace_products, sum_blocks_weighted
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 class MultiSGPArgs(NamedTuple):

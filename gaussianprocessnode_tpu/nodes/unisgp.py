@@ -23,6 +23,8 @@ Design translation (SURVEY.md §7.1):
 
 from typing import Callable, NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +34,9 @@ from ..ops import psi as psiops
 from ..ops import quadrature as quad
 from ..ops.linalg import jdot, tri_solve_lower
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
+#          would initialize the device backend at IMPORT time (slow and
+#          fragile through the device tunnel)
 
 
 class UniSGPArgs(NamedTuple):
