@@ -36,6 +36,12 @@ def main():
 
     first = time.time()
     result = run(epochs=EPOCHS, warm_timing=True, verbose=False)
+    if result["seconds"] < 1.0:
+        # timing anomaly: 500 epochs cannot complete in under a second —
+        # on a degraded tunnel the backend has been seen satisfying blocks
+        # early, leaking the device time into the prediction stage.
+        # Re-measure once with a fresh run.
+        result = run(epochs=EPOCHS, warm_timing=True, verbose=False)
     # compile/trace/cache-load cost = first run minus the warm re-run (both
     # execute the identical 500 epochs; the persistent compilation cache in
     # experiments.kin40k makes this ~seconds after the first-ever bench)

@@ -95,7 +95,7 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
                         kernel, theta0, Xu, Xb, yb, prior_v, prior_w, e,
                         resume_state=state
                     )
-                jax.block_until_ready(theta)
+                jax.block_until_ready((theta, qv_nat, qw, state_new))
                 break
             except jax.errors.JaxRuntimeError:
                 # transient tunnel faults only; real bugs propagate

@@ -103,7 +103,12 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
             for attempt in range(3):
                 try:
                     out = step_fn(e, state)
-                    jax.block_until_ready(out[0])
+                    # block on EVERY output leaf: on a degraded tunnel the
+                    # experimental backend has been observed to satisfy a
+                    # block on a small array (θ, 9 floats) while the large
+                    # buffers are still computing, which silently shifts
+                    # training time into whoever touches the results next
+                    jax.block_until_ready(out)
                     break
                 except _transient_errors:
                     if attempt == 2:
