@@ -8,7 +8,7 @@ probit likelihood, q(w) Gamma carried across batches, 500 epochs of
 Reference results: 125 errors / 9.615%; 2965.76 s Julia wall (BASELINE.md).
 This framework on one TPU chip: default epoch-granular fast path
 (fit_banana_fast: one grand f64 stats refresh per epoch, 20 f32 θ-steps on
-frozen stats) — **124 errors / 9.54 % in ~30 s** (99× the reference);
+frozen stats) — **124 errors / 9.54 % in 30–39 s** (≥76× the reference);
 ``--faithful`` runs the per-batch schedule (~269 s, same error count).
 """
 
