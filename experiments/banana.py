@@ -95,7 +95,11 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
                         kernel, theta0, Xu, Xb, yb, prior_v, prior_w, e,
                         resume_state=state
                     )
-                jax.block_until_ready((theta, qv_nat, qw, state_new))
+                # host materialization instead of block_until_ready: on
+                # this tunneled backend the completion signal itself has
+                # been observed firing early (2.9 s reported for a 27 s
+                # run) — copying a value to the host cannot
+                _ = float(jnp.asarray(theta).ravel()[0])
                 break
             except jax.errors.JaxRuntimeError:
                 # transient tunnel faults only; real bugs propagate

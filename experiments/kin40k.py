@@ -103,12 +103,13 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
             for attempt in range(3):
                 try:
                     out = step_fn(e, state)
-                    # block on EVERY output leaf: on a degraded tunnel the
-                    # experimental backend has been observed to satisfy a
-                    # block on a small array (θ, 9 floats) while the large
-                    # buffers are still computing, which silently shifts
-                    # training time into whoever touches the results next
-                    jax.block_until_ready(out)
+                    # host materialization instead of block_until_ready: on
+                    # a degraded tunnel the backend's completion signal has
+                    # been observed firing while buffers are still
+                    # computing (even when blocking on every leaf); copying
+                    # a value to the host cannot return early, and θ is an
+                    # output of the same executable as everything else
+                    _ = float(jnp.asarray(out[0]).ravel()[0])
                     break
                 except _transient_errors:
                     if attempt == 2:
