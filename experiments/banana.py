@@ -44,7 +44,11 @@ from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
 
 
 def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
-        seed: int = 1, fast: bool | None = None, verbose: bool = True):
+        seed: int = 1, fast: bool | None = None, verbose: bool = True,
+        xu=None):
+    """``xu``: optional explicit inducing inputs (M, 2) — pass the
+    reference's saved draw (savefiles/Xu_banana.jld, the Xu behind its
+    golden posterior qv_banana.jld) for trajectory-level parity runs."""
     data = banana()
     dtype = jnp.float64 if "--f64" in sys.argv else jnp.float32
     Xtr = jnp.asarray(data.x_train, dtype)
@@ -53,9 +57,13 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
     yte = data.y_test
 
     n_train = Xtr.shape[0]
-    rng = np.random.default_rng(seed)
-    pos = rng.permutation(n_train)[:m_inducing]
-    Xu = jnp.asarray(data.x_train[pos], dtype)
+    if xu is not None:
+        Xu = jnp.asarray(xu, dtype)
+        m_inducing = Xu.shape[0]
+    else:
+        rng = np.random.default_rng(seed)
+        pos = rng.permutation(n_train)[:m_inducing]
+        Xu = jnp.asarray(data.x_train[pos], dtype)
     M = m_inducing
 
     B = n_train // batch_size
@@ -135,4 +143,9 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(epochs=int(args[0]) if args else 500)
+    xu = None
+    if "--refxu" in sys.argv:
+        from gaussianprocessnode_tpu.utils.jld import load_jld
+
+        xu = np.asarray(load_jld("/root/reference/savefiles/Xu_banana.jld"))
+    run(epochs=int(args[0]) if args else 500, xu=xu)

@@ -56,7 +56,12 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         n_train: int = 10_000, dtype=None, seed: int = 1, faithful: bool = False,
         learning_rate: float = 0.001, stats_refreshes: int = 1,
-        warm_timing: bool = False, verbose: bool = True):
+        warm_timing: bool = False, verbose: bool = True, xu=None):
+    """``xu``: optional explicit inducing inputs (M, 8) — pass the
+    reference's own saved draw (savefiles/Xu_kin40k.jld, the exact Xu behind
+    its golden posterior qv_kin40k.jld) for trajectory-level parity runs;
+    default draws M random training points like regression_kin40k.ipynb
+    cell 5."""
     data = kin40k()
     if dtype is None:
         dtype = jnp.float64 if (faithful or "--f64" in sys.argv) else jnp.float32
@@ -65,9 +70,13 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
     Xte = jnp.asarray(data.x_test, dtype)
     yte = data.y_test
 
-    rng = np.random.default_rng(seed)
-    pos = rng.permutation(n_train)[:m_inducing]
-    Xu = jnp.asarray(data.x_train[pos], dtype)
+    if xu is not None:
+        Xu = jnp.asarray(xu, dtype)
+        m_inducing = Xu.shape[0]
+    else:
+        rng = np.random.default_rng(seed)
+        pos = rng.permutation(n_train)[:m_inducing]
+        Xu = jnp.asarray(data.x_train[pos], dtype)
     M = m_inducing
 
     B = n_train // batch_size
@@ -184,4 +193,10 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(epochs=int(args[0]) if args else 1000, faithful="--faithful" in sys.argv)
+    xu = None
+    if "--refxu" in sys.argv:
+        from gaussianprocessnode_tpu.utils.jld import load_jld
+
+        xu = np.asarray(load_jld("/root/reference/savefiles/Xu_kin40k.jld"))
+    run(epochs=int(args[0]) if args else 1000, faithful="--faithful" in sys.argv,
+        xu=xu)

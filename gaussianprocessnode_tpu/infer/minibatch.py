@@ -31,6 +31,8 @@ from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
 
 __all__ = [
     "MinibatchCarry",
+    "default_optimizer",
+    "fast_optimizer",
     "fit_kin40k",
     "fit_kin40k_fast",
     "init_kin40k_fast_state",
@@ -56,6 +58,22 @@ def default_optimizer(learning_rate=1e-3):
         optax.zero_nans(), optax.clip_by_global_norm(1e8),
         optax.adamax(learning_rate),
     )
+
+
+def fast_optimizer(learning_rate=1e-3, lr_decay_rate=1.0, epochs=1, n_batches=1):
+    """The exact optimizer chain :func:`fit_kin40k_fast` builds for a given
+    schedule. Exposed so :func:`init_kin40k_fast_state` (and chunked drivers)
+    can construct an opt_state whose pytree matches the trainer's — a decayed
+    schedule carries different optax state than a constant lr, and a
+    mismatch surfaces as an opaque scan/tree error at trace time."""
+    if lr_decay_rate != 1.0:
+        lr = optax.exponential_decay(
+            learning_rate, transition_steps=epochs * n_batches,
+            decay_rate=lr_decay_rate,
+        )
+    else:
+        lr = learning_rate
+    return default_optimizer(lr)
 
 
 class MinibatchCarry(NamedTuple):
@@ -184,7 +202,15 @@ def fit_banana(
     batch q(w) mean. Unlike kin40k, q(v)/q(w) accumulate ACROSS epochs (the
     reference's per-epoch resets are commented out). Mixed precision as in
     fit_kin40k: f64 (ξ, Λ) + Newton–Schulz/IR solves, f32 Grams.
-    Returns (θ, q(v) nat, q(w))."""
+    Returns (θ, q(v) nat, q(w)).
+
+    ``ns_iters=30`` vs the fast path's measured 45: the 45-iteration finding
+    applies to COLD grand refreshes (prior + a full-epoch rank-N update, once
+    per epoch). This per-batch path warm-starts from the previous batch's
+    inverse and q(v) accumulates WITHOUT epoch resets, so each increment is
+    O(1/(B·epoch)) relative and NS converges in a few iterations — 30 is
+    headroom, not the binding budget; the matched-budget fast≡faithful test
+    (tests/test_minibatch.py) passes at these defaults."""
     optimizer = default_optimizer(learning_rate)
     M = Xu.shape[0]
     dt = theta0.dtype
@@ -472,13 +498,7 @@ def fit_kin40k_fast(
       epoch statistics (κ(Kuu)≈σ²/jitter ~ 3e4 is f32-safe).
     """
     B = X_batched.shape[0]
-    if lr_decay_rate != 1.0:
-        lr = optax.exponential_decay(
-            learning_rate, transition_steps=epochs * B, decay_rate=lr_decay_rate
-        )
-    else:
-        lr = learning_rate
-    optimizer = default_optimizer(lr)
+    optimizer = fast_optimizer(learning_rate, lr_decay_rate, epochs, B)
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
@@ -582,17 +602,20 @@ def fit_kin40k_fast(
 
 
 def init_kin40k_fast_state(theta0, prior_v, M, groups, optimizer=None,
-                           acc_dt=None, obj_dt=None):
+                           acc_dt=None, obj_dt=None, learning_rate=1e-3,
+                           lr_decay_rate=1.0, epochs=1, n_batches=1):
     """Initial carry for :func:`fit_kin40k_fast`. Exposed so chunked drivers
     can build it host-side and always call the trainer with a concrete
     ``resume_state`` — one trace/executable for every chunk instead of a
     separate compile for the ``resume_state=None`` signature.
 
-    ``optimizer`` must match the trainer's chain; the default reproduces it
-    for a constant learning rate (pass your own when ``lr_decay_rate`` ≠ 1,
-    whose schedule state has a different pytree structure)."""
+    Pass the trainer's schedule parameters (``learning_rate``,
+    ``lr_decay_rate``, ``epochs``, ``n_batches``) so the opt_state pytree is
+    built by the SAME :func:`fast_optimizer` chain the trainer uses — a
+    decayed schedule has a different optax state structure than a constant
+    lr. ``optimizer`` overrides everything (must match the trainer's chain)."""
     if optimizer is None:
-        optimizer = default_optimizer()
+        optimizer = fast_optimizer(learning_rate, lr_decay_rate, epochs, n_batches)
     obj_dt = theta0.dtype if obj_dt is None else obj_dt
     if acc_dt is None:
         acc_dt = jnp.float64 if jax.config.jax_enable_x64 else obj_dt

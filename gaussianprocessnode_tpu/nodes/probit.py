@@ -20,6 +20,8 @@ __all__ = [
     "out_probability",
     "tilted_marginal",
     "tilted_marginal_batch",
+    "tilted_marginal_gh",
+    "tilted_marginal_gh_batch",
     "average_energy",
     "average_energy_batch",
 ]
@@ -67,7 +69,11 @@ def tilted_marginal_gh(m, v, y, n_gh: int = 32) -> Gaussian:
     s = 2.0 * y - 1.0
     pts, w = gh_points_weights(n_gh, m, v)
     F = _norm.cdf(s * pts)
-    Z = jnp.maximum(jnp.sum(w * F), 1e-300)
+    # dtype-aware floor: a literal 1e-300 underflows to 0.0 in f32 (the
+    # experiments' default dtype), making the guard a no-op and leaving the
+    # 0/0 NaN to the downstream isfinite fallback
+    Zsum = jnp.sum(w * F)
+    Z = jnp.maximum(Zsum, jnp.finfo(Zsum.dtype).tiny)
     m_t = jnp.sum(w * F * pts) / Z
     v_t = jnp.sum(w * F * (pts - m_t) ** 2) / Z
     v_t = jnp.maximum(v_t, 1e-12)

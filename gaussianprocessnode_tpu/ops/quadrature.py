@@ -370,13 +370,18 @@ def _joint_from_marginals(marginals):
     """
     ms, Vs, Ss, Ks, sizes = [], [], [], [], []
     for q in marginals:
+        if len(q) not in (2, 4):
+            raise ValueError(
+                f"marginal tuples must be (m, V) or (m, V, S, K); got length "
+                f"{len(q)} — a 3-tuple would silently drop the skewness"
+            )
         m = jnp.asarray(q[0])
         V = jnp.asarray(q[1])
         scalar = m.ndim == 0
         d = 1 if scalar else m.shape[0]
         m1 = m.reshape(1) if scalar else m
         V1 = V.reshape(1, 1) if V.ndim < 2 else V
-        if len(q) >= 4 and q[2] is not None:
+        if len(q) == 4 and q[2] is not None:
             S1 = jnp.asarray(q[2]).reshape(-1)
             K1 = jnp.asarray(q[3]).reshape(-1)
         else:

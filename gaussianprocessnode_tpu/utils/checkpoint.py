@@ -26,9 +26,21 @@ def save_pytree(path: str, tree: Any) -> None:
 
 def load_pytree(path: str, like: Any) -> Any:
     """Load a checkpoint saved with :func:`save_pytree`. ``like`` provides the
-    pytree structure (e.g. a freshly-initialized state of the same shape)."""
+    pytree structure (e.g. a freshly-initialized state of the same shape).
+
+    The structure stored at save time is validated against ``like``'s: a
+    mismatch raises instead of silently mis-assigning leaves to the wrong
+    positions (the treedef string is the only stable serialization jax
+    offers, so comparison is textual)."""
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    stored_treedef = bytes(data["__treedef__"]).decode()
+    if stored_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint pytree structure does not match `like`:\n"
+            f"  stored: {stored_treedef}\n"
+            f"  like:   {treedef}"
+        )
     leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
     import jax.numpy as jnp
 

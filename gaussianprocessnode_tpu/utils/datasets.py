@@ -30,7 +30,6 @@ def toy_sinc(n_train: int = 50, n_test: int = 600, precision: float = 100.0, see
     xmin, xmax = -4.0, 4.0
     x = np.sort(rng.uniform(xmin, xmax, n_train))
     x_test = np.linspace(xmin - 0.1, xmax + 0.1, n_test)
-    y = np.sinc(x / np.pi) * np.pi / np.pi  # placeholder, replaced below
     # Julia sinc(x) = sin(πx)/(πx); numpy.sinc is identical
     y = np.sinc(x) + rng.normal(size=n_train) * np.sqrt(1.0 / precision)
     f_true = np.sinc(x_test)
@@ -176,3 +175,14 @@ def toy_classification_reference(root: str = REFERENCE_ROOT):
     xt = np.asarray(load_jld(os.path.join(d, "xtest_toyclassification.jld")))
     yt = np.asarray(load_jld(os.path.join(d, "ytest_toyclassification.jld")))
     return Dataset(x[:, None], y, xt[:, None], yt)
+
+
+def split2batch(x, y, batch_size: int):
+    """Minibatch splitter (reference: split2batch, gp_helperfunction.jl:137-142).
+    Returns arrays shaped (B, batch_size, ...) — the trailing remainder is
+    dropped (static shapes for jit; the reference keeps a ragged tail)."""
+    n = (len(y) // batch_size) * batch_size
+    xa, ya = np.asarray(x), np.asarray(y)
+    xb = xa[:n].reshape(n // batch_size, batch_size, *xa.shape[1:])
+    yb = ya[:n].reshape(n // batch_size, batch_size)
+    return xb, yb

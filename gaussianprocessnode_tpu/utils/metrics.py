@@ -23,15 +23,3 @@ def num_error(y_true, y_pred):
 
 def error_rate(y_true, y_pred):
     return num_error(y_true, y_pred) / jnp.asarray(y_true).shape[0]
-
-
-def split2batch(x, y, batch_size: int):
-    """Minibatch splitter (reference: split2batch, gp_helperfunction.jl:137-142).
-    Returns arrays shaped (B, batch_size, ...) — the trailing remainder is
-    dropped (static shapes for jit; the reference keeps a ragged tail)."""
-    import numpy as np
-
-    n = (len(y) // batch_size) * batch_size
-    xb = np.asarray(x)[:n].reshape(len(y) // batch_size, batch_size, *np.asarray(x).shape[1:])
-    yb = np.asarray(y)[:n].reshape(len(y) // batch_size, batch_size)
-    return xb, yb
