@@ -13,15 +13,26 @@ with the (small, replicated) q(v) solve done identically on every chip.
 Model parallelism is not warranted at M ≤ 600 (SURVEY.md §2.9).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..dists import MvGaussianNat
 from ..objectives import neg_log_backwardmess_gram
 from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
 
-__all__ = ["make_mesh", "shard_data", "dp_regression_sweep", "dp_train_step"]
+__all__ = [
+    "make_mesh",
+    "shard_data",
+    "shard_batched_data",
+    "dp_regression_sweep",
+    "dp_train_step",
+    "fit_kin40k_fast_dp",
+    "init_kin40k_fast_dp_state",
+]
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -103,3 +114,152 @@ def dp_train_step(kernel, theta, opt_state, optimizer, Xu, X, y,
 
     theta = optax.apply_updates(theta, updates)
     return theta, opt_state, nat
+
+
+def shard_batched_data(mesh: Mesh, X_batched, y_batched, axis: str = "dp"):
+    """Place pre-batched arrays (B, batch, ...) with the WITHIN-batch point
+    dimension sharded over the mesh (the batch index stays a scan axis)."""
+    ndev = mesh.shape[axis]
+    if X_batched.shape[1] % ndev != 0:
+        raise ValueError(
+            f"within-batch size {X_batched.shape[1]} is not divisible by the "
+            f"{ndev}-device '{axis}' mesh axis; pick a batch size that is a "
+            "multiple of the device count (e.g. 512 on 8 devices instead of "
+            "the reference's 500)"
+        )
+    Xs = jax.device_put(X_batched, NamedSharding(mesh, P(None, axis, None)))
+    ys = jax.device_put(y_batched, NamedSharding(mesh, P(None, axis)))
+    return Xs, ys
+
+
+def init_kin40k_fast_dp_state(theta0, prior_v: MvGaussianNat, M: int,
+                              learning_rate: float = 1e-3, acc_dt=None):
+    """Initial carry for :func:`fit_kin40k_fast_dp` (replicated on every
+    device; only the training data is sharded)."""
+    from ..infer.minibatch import default_optimizer
+
+    dt = theta0.dtype
+    if acc_dt is None:
+        acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    optimizer = default_optimizer(learning_rate)
+    return (
+        prior_v.xi.astype(acc_dt),
+        prior_v.prec.astype(acc_dt),
+        jnp.zeros((M, M), acc_dt),
+        theta0,
+        optimizer.init(theta0),
+        jnp.zeros((M, M), dt),
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel", "epochs", "learning_rate", "refresh_ns_iters", "obj_ns_iters",
+    "mesh", "axis",
+))
+def fit_kin40k_fast_dp(
+    kernel,
+    theta0,
+    Xu,
+    X_batched,  # (B, batch, Din), point dim sharded via shard_batched_data
+    y_batched,  # (B, batch)
+    prior_v: MvGaussianNat,
+    w_val: float,
+    epochs: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    learning_rate: float = 0.001,
+    resume_state=None,
+    refresh_ns_iters: int = 45,
+    obj_ns_iters: int = 12,
+):
+    """Data-parallel :func:`~..infer.minibatch.fit_kin40k_fast` (the headline
+    trainer, ``stats_refreshes=1`` schedule) over a device mesh — VERDICT r2
+    item 3.
+
+    The whole multi-epoch program runs inside ONE ``shard_map``: each device
+    holds a 1/ndev slice of every minibatch's points and computes
+
+      - its local slice of the grand epoch Gram (M × N/ndev, one MXU matmul)
+        and the local natural-parameter increments, which are ``psum``'d into
+        the replicated grand (ξ, Λ) update (the q(v) update is a SUM of
+        per-datum contributions — SURVEY §2.9's psum design slot);
+      - the replicated full-budget f64 Newton–Schulz refresh (M×M work,
+        identical on every chip — cheap next to the sharded Grams at scale);
+      - per θ-step, the gradient of its local slice of the batch objective
+        (a pure data-sum: kxx, Kux·Kuxᵀ and y·Kuxᵀμ_v all sum over points, so
+        ``psum`` of shard gradients IS the full-batch gradient), with the
+        AdaMax update applied identically on every device.
+
+    Collectives: 2 psums of (M,) + (M,M) per epoch + 1 psum of (dim θ,) per
+    θ-step — all riding ICI. Numerically ≡ the single-device trainer up to
+    f64 sum-reordering (tested to ~1e-9 relative in tests/test_sharding.py).
+    """
+    from ..infer.minibatch import default_optimizer
+
+    optimizer = default_optimizer(learning_rate)
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
+    kuu_jit = effective_jitter(dt)
+    B = X_batched.shape[0]
+    Din = X_batched.shape[-1]
+
+    def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
+        # LOCAL slice of the batch objective; data-dependent terms sum over
+        # points, so shard losses/grads psum to the full-batch ones. The
+        # Kuu-only NS inverse is replicated (same on every device).
+        return neg_log_backwardmess_gram(
+            th, kernel=kernel, Xu=Xu, X=Xb, y=yb, mu_v=mu_v, Rv=Rv, w=w_val,
+            kuu_inv_warm=kuu_warm, ns_iters=obj_ns_iters, kuu_jitter=kuu_jit,
+        )
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def local_train(carry0, Xb_loc, yb_loc):
+        # Xb_loc: (B, batch/ndev, Din); carry replicated
+        X_loc = Xb_loc.reshape(-1, Din)
+        y_loc = yb_loc.reshape(-1)
+
+        def epoch(carry, _):
+            xi0, prec0, cov64, theta, opt_state, kuu_inv = carry
+            Kall = kernel(theta, Xu, X_loc).astype(acc_dt)  # local Gram slice
+            # grand q(v) update: psum of per-shard natural-param sums
+            xi_loc = w_val * jnp.matmul(Kall, y_loc.astype(acc_dt), precision=hi)
+            prec_loc = w_val * jnp.matmul(Kall, Kall.T, precision=hi)
+            xi = prior_v.xi.astype(acc_dt) + jax.lax.psum(xi_loc, axis)
+            prec = sym(prior_v.prec.astype(acc_dt) + jax.lax.psum(prec_loc, axis))
+            # replicated f64 refresh (warm start from the previous epoch)
+            cov64 = spd_inverse(prec, warm=cov64, iters=refresh_ns_iters)
+            mu64 = ir_solve(prec, xi, cov64, rounds=2)
+            mu_v = mu64.astype(dt)
+            Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+
+            def theta_step(tc, batch):
+                th, os_, kw = tc
+                Xb, yb = batch
+                g_loc, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
+                g = jax.lax.psum(g_loc, axis)  # full-batch gradient
+                upd, os_ = optimizer.update(g, os_, th)
+                return (optax.apply_updates(th, upd), os_, kw), None
+
+            (theta, opt_state, kuu_inv), _ = jax.lax.scan(
+                theta_step, (theta, opt_state, kuu_inv), (Xb_loc, yb_loc)
+            )
+            return (xi, prec, cov64, theta, opt_state, kuu_inv), None
+
+        carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
+        return carry
+
+    carry0 = resume_state
+    if carry0 is None:
+        carry0 = init_kin40k_fast_dp_state(theta0, prior_v, Xu.shape[0],
+                                           learning_rate, acc_dt)
+    rep = jax.tree_util.tree_map(lambda _: P(), carry0)
+    carry = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(rep, P(None, axis, None), P(None, axis)),
+        out_specs=rep,
+    )(carry0, X_batched, y_batched)
+    xi, prec, cov64, theta, _, _ = carry
+    return theta, MvGaussianNat(xi, prec), cov64, carry

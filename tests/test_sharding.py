@@ -95,3 +95,74 @@ def test_dp_sweep_invariant_to_mesh_size():
     for xi, prec in results[1:]:
         np.testing.assert_allclose(xi, results[0][0], rtol=1e-10)
         np.testing.assert_allclose(prec, results[0][1], rtol=1e-10)
+
+
+class TestHeadlineTrainerDP:
+    """fit_kin40k_fast_dp ≡ fit_kin40k_fast (VERDICT r2 item 3): the SHIPPED
+    headline trainer sharded over the mesh, tested at the real kin40k shapes
+    (M=600, N=4000 over 8 batches of 500, 8-D inputs, w=1e4) for multiple
+    epochs."""
+
+    def test_dp_headline_trainer_matches_single_device_real_shapes(self):
+        from gaussianprocessnode_tpu.infer.minibatch import fit_kin40k_fast
+        from gaussianprocessnode_tpu.parallel.sharding import (
+            fit_kin40k_fast_dp,
+            shard_batched_data,
+        )
+
+        r = np.random.default_rng(1)
+        # batch 512 (not the reference's 500): the within-batch point dim is
+        # the sharded axis and must divide the 8-device mesh
+        M, Din, B, batch = 600, 8, 8, 512
+        Xu = jnp.asarray(r.standard_normal((M, Din)))
+        Xb = jnp.asarray(r.standard_normal((B, batch, Din)))
+        yb = jnp.asarray(r.standard_normal((B, batch)))
+        theta0 = invsoftplus(jnp.ones(Din + 1))
+        prior_v = MvGaussianNat(jnp.zeros(M), jnp.eye(M) / 50.0)
+        w_val = 1e4
+        epochs = 2
+
+        th1, nat1, cov1, _ = fit_kin40k_fast(
+            KER, theta0, Xu, Xb, yb, prior_v, w_val, epochs
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        Xs, ys = shard_batched_data(mesh, Xb, yb)
+        th2, nat2, cov2, _ = fit_kin40k_fast_dp(
+            KER, theta0, Xu, Xs, ys, prior_v, w_val, epochs, mesh
+        )
+        # identical up to f64 sum reordering in the psum'd (ξ, Λ) and grads
+        np.testing.assert_allclose(np.asarray(th2), np.asarray(th1), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(nat2.prec), np.asarray(nat1.prec),
+            rtol=1e-10, atol=1e-6 * float(jnp.max(jnp.abs(nat1.prec))),
+        )
+        np.testing.assert_allclose(
+            np.asarray(cov2), np.asarray(cov1),
+            atol=1e-8 * float(jnp.max(jnp.abs(cov1))),
+        )
+
+    def test_dp_headline_trainer_mesh_size_invariance(self):
+        """Same trainer, 1/2/4/8 devices → same θ (small shapes; the mesh
+        partitioning must not leak into the result)."""
+        from gaussianprocessnode_tpu.parallel.sharding import (
+            fit_kin40k_fast_dp,
+            shard_batched_data,
+        )
+
+        r = np.random.default_rng(2)
+        M_, Din, B, batch = 32, 3, 4, 64
+        Xu = jnp.asarray(r.standard_normal((M_, Din)))
+        Xb = jnp.asarray(r.standard_normal((B, batch, Din)))
+        yb = jnp.asarray(r.standard_normal((B, batch)))
+        theta0 = invsoftplus(jnp.ones(Din + 1))
+        prior_v = MvGaussianNat(jnp.zeros(M_), jnp.eye(M_) / 50.0)
+        thetas = []
+        for n_dev in (1, 2, 4, 8):
+            mesh = make_mesh(jax.devices()[:n_dev])
+            Xs, ys = shard_batched_data(mesh, Xb, yb)
+            th, _, _, _ = fit_kin40k_fast_dp(
+                KER, theta0, Xu, Xs, ys, prior_v, 100.0, 2, mesh
+            )
+            thetas.append(np.asarray(th))
+        for th in thetas[1:]:
+            np.testing.assert_allclose(th, thetas[0], atol=1e-10)
