@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianprocessnode_tpu.infer.gplvm import gplvm_vmp
+from gaussianprocessnode_tpu.infer.gplvm import fit_gplvm_grad, gplvm_vmp
 from gaussianprocessnode_tpu.ops.kernels import Kernel, softplus
 from gaussianprocessnode_tpu.utils.datasets import oil_flow
 from gaussianprocessnode_tpu.utils.optim import nelder_mead
@@ -48,7 +48,13 @@ def knn_accuracy(Z, labels, k=1):
     return float((labels[nn] == labels).mean())
 
 
-def run(nm_iters: int = 25, n_iters: int = 6, verbose: bool = True):
+def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
+        grad_epochs: int = 25, verbose: bool = True):
+    """``grad=True`` (default): gradient hyperopt — a jitted EM alternation
+    (warm-started VMP E-step + L-BFGS on the θ-differentiable FE, SURVEY
+    §7.1 optimizer row). ``grad=False`` (``--nm``): the reference's
+    derivative-free schedule — scipy NelderMead over cold 6-sweep FE
+    evaluations (GPLVM.ipynb cells 16-17)."""
     Y_np, labels = oil_flow()
     Y = jnp.asarray(Y_np)
     mean_X = pca_2d(Y_np)
@@ -62,12 +68,19 @@ def run(nm_iters: int = 25, n_iters: int = 6, verbose: bool = True):
     kernel = Kernel("se", transform="softplus")
     theta0 = jnp.asarray([1.0, 0.6, 0.5])  # reference cell 17 (raw, pre-softplus)
 
-    def fe_obj(theta):
-        _, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=n_iters)
-        return fe
-
     t0 = time.time()
-    theta, fe_val, history = nelder_mead(fe_obj, theta0, maxiter=nm_iters)
+    if grad:
+        theta, _, fe_trace = fit_gplvm_grad(
+            kernel, theta0, Xu, Y, Xm, epochs=grad_epochs, n_iters=n_iters
+        )
+        history = [float(f) for f in np.asarray(fe_trace)]
+        fe_val = history[-1]
+    else:
+        def fe_obj(theta):
+            _, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=n_iters)
+            return fe
+
+        theta, fe_val, history = nelder_mead(fe_obj, theta0, maxiter=nm_iters)
     hyperopt_s = time.time() - t0
 
     state, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=30)
@@ -75,16 +88,18 @@ def run(nm_iters: int = 25, n_iters: int = 6, verbose: bool = True):
     acc = knn_accuracy(Z, labels)
     acc_pca = knn_accuracy(mean_X, labels)
     if verbose:
-        print(f"final FE = {float(fe):.3f} (NelderMead best {fe_val:.3f}, {len(history)} evals)")
+        which = "gradient (EM, L-BFGS M-step)" if grad else "NelderMead"
+        print(f"final FE = {float(fe):.3f} ({which} best {fe_val:.3f}, "
+              f"{len(history)} evals/epochs)")
         print(f"latent 1-NN accuracy = {acc:.4f} (PCA init baseline: {acc_pca:.4f})")
         print(f"hyperopt wall: {hyperopt_s:.1f}s (reference: ~900 s)")
         print(f"optimal θ (softplus) = {np.asarray(softplus(jnp.asarray(theta)))} "
               f"(reference: [1.4136, 0.7675, 1.0215])")
-    return {"fe": float(fe), "knn_acc": acc, "knn_acc_pca": acc_pca,
-            "theta": np.asarray(theta), "seconds": hyperopt_s,
-            "latents": Z, "labels": labels}
+    return {"fe": float(fe), "fe_hyperopt": fe_val, "knn_acc": acc,
+            "knn_acc_pca": acc_pca, "theta": np.asarray(theta),
+            "seconds": hyperopt_s, "latents": Z, "labels": labels}
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(nm_iters=int(args[0]) if args else 25)
+    run(nm_iters=int(args[0]) if args else 25, grad="--nm" not in sys.argv)
