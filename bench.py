@@ -14,7 +14,17 @@ and reported separately — a persistent compilation cache in
 ``vs_baseline`` is the speedup over the reference SGP run at matched epoch
 count scaling (reference: 25.2 s/epoch). Round-2 record: 25.7 s / 500
 epochs at SMSE 0.0799 (reference: 12,600 s, SMSE 0.0834) = 489×.
-Also emits an on-device Pallas-vs-XLA Gram check (f32-exactness + timing).
+
+Also emits (VERDICT r2 item 4):
+- ``tflops`` / ``mfu``: model-FLOP rate of the training run from the
+  documented per-epoch arithmetic (:func:`kin40k_fast_flops_per_epoch` —
+  the SURVEY §6 "Gram+Chol TFLOP/s" north-star metric, with Newton–Schulz
+  playing the chol role), MFU against the chip's 197 TFLOP/s bf16 peak;
+- an on-device Pallas-vs-XLA Gram check (f32-exactness ENFORCED via
+  ``pallas_ok`` + timings) and the f64 NS-matmul rate at the refresh shape —
+  the data that retires SURVEY §7.4's pallas/chol.py plan (see COVERAGE.md):
+  the hot op is an f64 matmul chain, and Mosaic has no f64 MXU path to beat
+  XLA's with.
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup, ...}
@@ -28,30 +38,86 @@ EPOCHS = 500
 REF_SECONDS_PER_EPOCH = 12600.0 / 500.0  # Julia reference wall-clock rate
 REF_SMSE_SGP = 0.083431
 REF_SMSE_VSGP = 0.087478
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e chip peak (bf16 MXU), the MFU denominator
+
+
+def kin40k_fast_flops_per_epoch(M=600, N=10_000, B=20, Din=8,
+                                refresh_ns_iters=45, obj_ns_iters=12):
+    """Model matmul-FLOPs per epoch of fit_kin40k_fast (stats_refreshes=1).
+
+    Counts 2mnk per (m,k)×(k,n) matmul; elementwise work is O(MN) and
+    ignored. Newton–Schulz is 2 M×M matmuls per iteration (ops/linalg.py
+    ``spd_inverse_ns.step``: R = I − AX, Xn = X + XR) = 4M³/iter, plus one
+    warm-start residual check (2M³). The θ-objective's backward pass costs
+    ~2 matmuls per forward matmul except the NS inverse, whose custom VJP
+    (Ā = −XᵀḡXᵀ) is 2 matmuls total.
+    """
+    b = N // B
+    m3 = float(M) ** 3
+    gram_grand = 2.0 * M * N * Din  # sqdist cross-term of the M×N Gram
+    nat_update = 2.0 * M * M * N + 2.0 * M * N  # Λ += w·KKᵀ (f64) and ξ += w·Ky
+    refresh = (refresh_ns_iters * 4.0 + 2.0) * m3  # f64 NS + warm residual
+    # per θ-step (×B): objective forward
+    obj_fwd = (
+        (obj_ns_iters * 4.0 + 2.0) * m3     # Kuu⁻¹ by NS + warm residual
+        + 2.0 * M * M * Din                 # Kuu
+        + 2.0 * M * b * Din                 # Kux
+        + 2.0 * M * M * b                   # S = Kux Kuxᵀ
+        + 2.0 * M * b                       # Kuxᵀ μ_v
+    )
+    # backward: ≈2 matmuls per forward matmul for the Gram/S/Kuu chain,
+    # 2 matmuls (4M³) for the NS custom VJP
+    obj_bwd = 2.0 * (obj_fwd - (obj_ns_iters * 4.0 + 2.0) * m3) + 4.0 * m3
+    return gram_grand + nat_update + refresh + B * (obj_fwd + obj_bwd)
 
 
 def main():
-    t_setup = time.time()
     from experiments.kin40k import run
+
+    flops_epoch = kin40k_fast_flops_per_epoch()
+    flops_total = flops_epoch * EPOCHS
+    # physical lower bound on the device time for this FLOP volume: even at
+    # an (unreachable) 400 TFLOP/s the run cannot finish faster than this —
+    # the old `< 1.0 s` guard missed DEVIATIONS #6a's observed anomaly of
+    # 2.9 s reported for a 27 s run (ADVICE r2)
+    min_plausible_s = flops_total / 400e12
 
     first = time.time()
     result = run(epochs=EPOCHS, warm_timing=True, verbose=False)
-    if result["seconds"] < 1.0:
-        # timing anomaly: 500 epochs cannot complete in under a second —
-        # on a degraded tunnel the backend has been seen satisfying blocks
-        # early, leaking the device time into the prediction stage.
-        # Re-measure once with a fresh run.
+    first_total = time.time() - first
+    remeasures = 0
+    while result["seconds"] < min_plausible_s and remeasures < 3:
+        # timing anomaly (degraded tunnel satisfying blocks early): the warm
+        # wall-clock is below the FLOP-derived floor. Re-measure with fresh
+        # runs; fail loudly if it never becomes plausible.
+        remeasures += 1
         result = run(epochs=EPOCHS, warm_timing=True, verbose=False)
-    # compile/trace/cache-load cost = first run minus the warm re-run (both
-    # execute the identical 500 epochs; the persistent compilation cache in
-    # experiments.kin40k makes this ~seconds after the first-ever bench)
+    if result["seconds"] < min_plausible_s:
+        print(json.dumps({
+            "metric": "kin40k_train_wallclock_500epochs",
+            "error": "timing_anomaly_unresolved",
+            "value": round(result["seconds"], 3),
+            "min_plausible_seconds": round(min_plausible_s, 3),
+        }))
+        raise SystemExit(1)
+    # compile/trace/cache-load cost: attributed from the FIRST run of the
+    # measurement that was actually kept (first run pays compile, the warm
+    # re-run inside run() does not); setup = everything around the two runs
     compile_s = result["first_seconds"] - result["seconds"]
-    setup_s = time.time() - first - result["first_seconds"] - result["seconds"]
+    setup_s = first_total - result["first_seconds"] - result["seconds"]
+    if remeasures:
+        # the kept measurement came from a re-run whose executables were
+        # already compiled: its first/warm split carries no compile signal,
+        # so report the compile figure as unknown rather than a misattributed
+        # near-zero (ADVICE r2)
+        compile_s = float("nan")
 
-    speedup = REF_SECONDS_PER_EPOCH * EPOCHS / result["seconds"]
+    seconds = result["seconds"]
+    speedup = REF_SECONDS_PER_EPOCH * EPOCHS / seconds
+    tflops = flops_total / seconds / 1e12
     out = {
         "metric": "kin40k_train_wallclock_500epochs",
-        "value": round(result["seconds"], 3),
+        "value": round(seconds, 3),
         "unit": "s",
         "vs_baseline": round(speedup, 1),
         "smse": round(result["smse"], 6),
@@ -61,19 +127,27 @@ def main():
         "compile_seconds": round(compile_s, 1),
         "setup_seconds": round(setup_s, 1),  # data load + posterior recovery + SMSE eval
         "epochs": EPOCHS,
+        "remeasures": remeasures,
+        # SURVEY §6 north-star metric: model-FLOP rate + MFU
+        "model_flops_per_epoch": flops_epoch,
+        "tflops": round(tflops, 3),
+        "mfu": round(tflops / PEAK_BF16_TFLOPS, 5),
+        "mfu_note": "model matmul-FLOPs / 197 TFLOP/s bf16 peak; the run is "
+                    "dominated by f64 NS matmuls (no bf16 path) and M=600 "
+                    "tiles, so low MFU is the workload, not the schedule",
         "device": _device_name(),
     }
     out.update(_pallas_check())
+    out.update(_ns_refresh_rate())
     print(json.dumps(out))
 
 
 def _pallas_check(n_timing: int = 30):
     """On-device Pallas-vs-XLA Gram check at the headline shape (600×10000
     ARD-8): f32-exactness (max |diff|, expected ≤ ~3e-6 = f32 round-off of
-    the tile-reduction order) and per-call timings. Runs on whatever backend
-    bench runs on — on TPU this exercises the real Mosaic kernel."""
-    import time
-
+    the tile-reduction order; ENFORCED via pallas_ok) and per-call timings.
+    Runs on whatever backend bench runs on — on TPU this exercises the real
+    Mosaic kernel."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -97,22 +171,65 @@ def _pallas_check(n_timing: int = 30):
         k_pal = pal()
         jax.block_until_ready(k_pal)
         diff = float(jnp.max(jnp.abs(k_pal - k_ref)))
-
-        def clock(fn):
-            fn()
-            jax.block_until_ready(fn())
-            t0 = time.time()
-            for _ in range(n_timing):
-                out = fn()
-            jax.block_until_ready(out)
-            return (time.time() - t0) / n_timing * 1000.0
+        ok = diff <= 1e-5
+        if not ok:
+            print(f"WARNING: pallas-vs-XLA Gram diverged: max|diff|={diff:.3e} "
+                  "> 1e-5 — the f32-exactness claim does NOT hold on this "
+                  "device", file=sys.stderr)
 
         return {
             "pallas_checked": True,
+            "pallas_ok": ok,
             "pallas_max_abs_diff": diff,
-            "pallas_gram_ms": round(clock(pal), 3),
-            "xla_gram_ms": round(clock(xla), 3),
+            "pallas_gram_ms": round(_clock(pal, n_timing), 3),
+            "xla_gram_ms": round(_clock(xla, n_timing), 3),
         }
+
+
+def _ns_refresh_rate(n_timing: int = 10):
+    """Achieved f64 matmul rate of the Newton–Schulz refresh shape (45 iters
+    at 600×600) on this device — the measurement behind retiring SURVEY
+    §7.4's pallas/chol.py plan: the trainer's hot op is this f64 chain, and
+    Pallas/Mosaic has no f64 MXU path, so XLA's rate IS the ceiling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return {}
+    from gaussianprocessnode_tpu.ops.linalg import spd_inverse_ns
+
+    rng = np.random.default_rng(1)
+    M, iters = 600, 45
+    Q = jnp.asarray(rng.standard_normal((M, M)))
+    A = Q @ Q.T + 600.0 * jnp.eye(M)
+    if A.dtype != jnp.float64:
+        return {}  # x64 disabled; the refresh measurement needs f64
+    fn = jax.jit(lambda: spd_inverse_ns(A, iters=iters))
+    ms = _clock(fn, n_timing)
+    flops = (iters * 4.0 + 0.0) * float(M) ** 3
+    return {
+        "ns_f64_refresh_ms": round(ms, 3),
+        "ns_f64_tflops": round(flops / (ms / 1e3) / 1e12, 3),
+    }
+
+
+def _clock(fn, n_timing):
+    """Per-call milliseconds; guards against early-returning blocks by
+    materializing a scalar to the host after the timed loop."""
+    import jax
+    import jax.numpy as jnp
+
+    fn()
+    jax.block_until_ready(fn())
+    t0 = time.time()
+    for _ in range(n_timing):
+        out = fn()
+    jax.block_until_ready(out)
+    # host materialization: a device→host copy cannot return early even on a
+    # degraded tunnel (DEVIATIONS #6a)
+    _ = float(jnp.asarray(out).ravel()[0])
+    return (time.time() - t0) / n_timing * 1000.0
 
 
 def _device_name():

@@ -59,7 +59,9 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 
 
 def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
-        fresh_estep: bool = False, use_lbfgs: bool = True, verbose: bool = True):
+        fresh_estep: bool = False, use_lbfgs: bool = True,
+        adamax_lr: float = 0.01, adamax_decay: float = 0.2,
+        verbose: bool = True):
     x_state, y_obs, Q, P, dt = pendulum()
     n_train = 300
     y_train = jnp.asarray(y_obs[:n_train])
@@ -85,10 +87,13 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     # basin in ~150 epochs. Decay keeps the endpoint stable.
     optimizer = None
     if not use_lbfgs:
-        optimizer = optax.adamax(
-            optax.exponential_decay(0.01, transition_steps=epochs * adamax_steps,
-                                    decay_rate=0.2)
-        )
+        lr = adamax_lr
+        if adamax_decay != 1.0:
+            lr = optax.exponential_decay(
+                adamax_lr, transition_steps=epochs * adamax_steps,
+                decay_rate=adamax_decay,
+            )
+        optimizer = optax.adamax(lr)
 
     def vmp(theta, init_state=None, compute_fe=True):
         return gpssm_vmp(
@@ -239,4 +244,15 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(epochs=int(args[0]) if args else 150)
+    if "--faithful" in sys.argv:
+        # The reference's exact M-step schedule (Pendulum_Wishart_2d.ipynb
+        # cells 16-17): Flux AdaMax default lr 0.002, constant, 100 steps per
+        # epoch, E-step restarted fresh each epoch with 10 sequential sweeps
+        # (25 warm Jacobi sweeps ≈ 10 sequential; fresh_estep replays the
+        # restart). Bounds the deviation of the fast L-BFGS default by a
+        # recorded number (VERDICT r2 item 8).
+        run(epochs=int(args[0]) if args else 150, n_iters=25,
+            adamax_steps=100, fresh_estep=True, use_lbfgs=False,
+            adamax_lr=0.002, adamax_decay=1.0)
+    else:
+        run(epochs=int(args[0]) if args else 150)
