@@ -214,14 +214,21 @@ def _ns_refresh_rate(n_timing: int = 10):
     }
 
 
-def _clock(fn, n_timing):
-    """Per-call milliseconds; guards against early-returning blocks by
-    materializing a scalar to the host after the timed loop."""
+def _clock(fn, n_timing, warmup: int = 40):
+    """Per-call milliseconds at steady state; guards against early-returning
+    blocks by materializing a scalar to the host after the timed loop.
+
+    ``warmup`` is deliberately large: the first ~30 executions of a Mosaic
+    (Pallas) kernel through this tunnel each pay a loading penalty (measured:
+    45 ms/call in the first 30-call window decaying to 1.4-2.0 ms steady
+    state), so a 2-call warmup publishes the transient, not the kernel."""
     import jax
     import jax.numpy as jnp
 
-    fn()
-    jax.block_until_ready(fn())
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    _ = float(jnp.asarray(out).ravel()[0])
     t0 = time.time()
     for _ in range(n_timing):
         out = fn()

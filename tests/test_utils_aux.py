@@ -137,3 +137,29 @@ class TestSplit2Batch:
         xb, yb = split2batch(np.arange(22).reshape(11, 2), np.arange(11.0), 5)
         assert xb.shape == (2, 5, 2) and yb.shape == (2, 5)
         np.testing.assert_array_equal(yb[-1], np.arange(5.0, 10.0))
+
+
+class TestAotCache:
+    def test_seed_and_harvest_roundtrip(self, tmp_path):
+        """Committed AOT executables seed a fresh persistent-cache dir;
+        harvest copies the newest per-function entry back (the bench's
+        fresh-clone warm-start path)."""
+        import os
+
+        from gaussianprocessnode_tpu.utils.aot_cache import (
+            harvest_cache,
+            seed_cache,
+        )
+
+        cache = tmp_path / "cache"
+        art = tmp_path / "art"
+        cache.mkdir()
+        (cache / "jit_fit_kin40k_fast-abc-cache").write_bytes(b"x" * 10)
+        (cache / "jit_other-zzz-cache").write_bytes(b"y" * 10)
+        got = harvest_cache(str(cache), ["fit_kin40k_fast"], art_dir=str(art))
+        assert got == ["jit_fit_kin40k_fast-abc-cache"]
+        fresh = tmp_path / "fresh"
+        n = seed_cache(str(fresh), art_dir=str(art))
+        assert n == 1 and os.path.exists(fresh / "jit_fit_kin40k_fast-abc-cache")
+        # idempotent: second seed copies nothing
+        assert seed_cache(str(fresh), art_dir=str(art)) == 0
