@@ -31,6 +31,7 @@ __all__ = [
     "dp_regression_sweep",
     "dp_train_step",
     "fit_kin40k_fast_dp",
+    "fit_banana_fast_dp",
     "init_kin40k_fast_dp_state",
 ]
 
@@ -263,3 +264,135 @@ def fit_kin40k_fast_dp(
     )(carry0, X_batched, y_batched)
     xi, prec, cov64, theta, _, _ = carry
     return theta, MvGaussianNat(xi, prec), cov64, carry
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel", "epochs", "learning_rate", "refresh_ns_iters", "obj_ns_iters",
+    "mesh", "axis",
+))
+def fit_banana_fast_dp(
+    kernel,
+    theta0,
+    Xu,
+    X_batched,  # (B, batch, 2), point dim sharded via shard_batched_data
+    y_batched,  # (B, batch) in {0,1}
+    prior_v,
+    prior_w,
+    epochs: int,
+    mesh: Mesh,
+    axis: str = "dp",
+    learning_rate: float = 0.001,
+    resume_state=None,
+    refresh_ns_iters: int = 45,
+    obj_ns_iters: int = 8,  # = minibatch.NS_ITERS_STEADY, fit_banana_fast's default
+):
+    """Data-parallel :func:`~..infer.minibatch.fit_banana_fast` — the probit
+    classification headline trainer over a device mesh.
+
+    Everything non-conjugate stays embarrassingly parallel: each device
+    probit-tilts ITS slice of the forward f-messages (a per-datum map), and
+    the three global reductions are pure data-sums ridden over ICI —
+    psum'd (ξ, Λ) increments, a psum'd scalar Σ(I1+I2) for the carried q(w)
+    rate, and psum'd per-batch θ-gradients. The f64 NS refresh and the
+    AdaMax update are replicated. Numerically ≡ the single-device trainer
+    up to f64 sum reordering (tests/test_sharding.py)."""
+    from ..dists import GammaShapeRate
+    from ..infer.minibatch import MinibatchCarry, default_optimizer, init_banana_state
+    from ..nodes import probit as probit_node
+
+    optimizer = default_optimizer(learning_rate)
+    dt = theta0.dtype
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
+    hi = jax.lax.Precision.HIGHEST
+    kuu_jit = effective_jitter(dt)
+    B, batch = X_batched.shape[0], X_batched.shape[1]
+    N = B * batch  # GLOBAL count (the shape seen here is pre-shard)
+    Din = X_batched.shape[-1]
+
+    def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
+        return neg_log_backwardmess_gram(
+            th, kernel=kernel, Xu=Xu, X=Xb, y=f, mu_v=mu_v, Rv=Rv, w=w,
+            kuu_inv_warm=kuu_warm, ns_iters=obj_ns_iters, kuu_jitter=kuu_jit,
+        )
+
+    grad_fn = jax.grad(objective, has_aux=True)
+
+    def local_train(carry0, Xb_loc, yb_loc):
+        X_loc = Xb_loc.reshape(-1, Din)
+        y_loc = yb_loc.reshape(-1)
+        b_loc = Xb_loc.shape[1]
+
+        def epoch(carry: MinibatchCarry, _):
+            theta = carry.theta
+            Kall = kernel(theta, Xu, X_loc)  # (M, N/ndev) local Gram slice
+            Kall64 = Kall.astype(acc_dt)
+            kxx = kernel.diag(theta, X_loc)
+            w_mean = (carry.w_shape / carry.w_rate).astype(dt)
+            mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v,
+                                 rounds=2).astype(dt)
+            # per-datum probit tilting on the LOCAL slice
+            f_fwd = jnp.matmul(Kall.T, mu_v_prev, precision=hi)
+            f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
+            qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y_loc)
+            # grand q(v) update: psum of per-shard natural-param sums
+            w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
+            xi = carry.xi_v + w64 * jax.lax.psum(
+                jnp.matmul(Kall64, qf.mean.astype(acc_dt), precision=hi), axis)
+            prec = sym(carry.prec_v + w64 * jax.lax.psum(
+                jnp.matmul(Kall64, Kall64.T, precision=hi), axis))
+            cov = spd_inverse(prec, warm=carry.cov_v, iters=refresh_ns_iters)
+            mu64 = ir_solve(prec, xi, cov, rounds=2)
+            mu_v = mu64.astype(dt)
+            Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
+            # grand q(w) update: scalar psum of the local I1+I2 sums
+            kuu_inv = carry.kuu_inv
+            I1 = jnp.maximum(
+                kxx - jnp.sum(Kall * jnp.matmul(kuu_inv, Kall, precision=hi),
+                              axis=0), 0.0)
+            I2 = (
+                qf.mean**2 + qf.var
+                - 2.0 * qf.mean * jnp.matmul(Kall.T, mu_v, precision=hi)
+                + jnp.sum(Kall * jnp.matmul(Rv, Kall, precision=hi), axis=0)
+            )
+            w_shape = (carry.w_shape + 0.5 * N).astype(acc_dt)
+            w_rate = (carry.w_rate
+                      + 0.5 * jax.lax.psum(jnp.sum(I1 + I2), axis)).astype(acc_dt)
+            # θ-steps on frozen epoch stats; psum'd per-batch gradients
+            qf_b = qf.mean.reshape(Xb_loc.shape[0], b_loc)
+
+            def theta_step(tc, bt):
+                th, os_, kw = tc
+                Xb, fb = bt
+                g_loc, kw = grad_fn(
+                    th, Xb, fb, mu_v, Rv, (w_shape / w_rate).astype(dt), kw)
+                g = jax.lax.psum(g_loc, axis)
+                upd, os_ = optimizer.update(g, os_, th)
+                return (optax.apply_updates(th, upd), os_, kw), None
+
+            (theta, opt_state, kuu_inv), _ = jax.lax.scan(
+                theta_step, (theta, carry.opt_state, kuu_inv), (Xb_loc, qf_b)
+            )
+            return MinibatchCarry(
+                xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate
+            ), None
+
+        carry, _ = jax.lax.scan(epoch, carry0, None, length=epochs)
+        return carry
+
+    carry0 = resume_state
+    if carry0 is None:
+        carry0 = init_banana_state(kernel, theta0, Xu, prior_v, prior_w,
+                                   optimizer=optimizer)
+    rep = jax.tree_util.tree_map(lambda _: P(), carry0)
+    carry = jax.shard_map(
+        local_train,
+        mesh=mesh,
+        in_specs=(rep, P(None, axis, None), P(None, axis)),
+        out_specs=rep,
+    )(carry0, X_batched, y_batched)
+    return (
+        carry.theta,
+        MvGaussianNat(carry.xi_v, carry.prec_v),
+        GammaShapeRate(carry.w_shape, carry.w_rate),
+        carry,
+    )

@@ -24,7 +24,21 @@ from .dists import GammaShapeRate, MvGaussianNat, gamma_mean
 from .infer.batch_vmp import predict_out, predict_probit
 from .ops.linalg import ir_solve, spd_inverse_ns, sym
 
-__all__ = ["SGPRegressor", "SGPClassifier", "throughput"]
+__all__ = ["SGPRegressor", "SGPClassifier", "throughput", "shard_requests"]
+
+
+def shard_requests(mesh, X_test, axis: str = "dp"):
+    """Place a request batch with its leading dimension sharded over a
+    device mesh for data-parallel serving. The predictor handles are pure
+    jitted programs, so XLA's GSPMD partitioner propagates this sharding
+    through the Gram + mat-vec automatically — each chip computes
+    predictions for its slice with NO collectives (the model state
+    replicates; outputs come back sharded the same way). Proven equal to
+    single-device serving in tests/test_serve.py."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axis, *([None] * (jnp.ndim(X_test) - 1)))
+    return jax.device_put(jnp.asarray(X_test), NamedSharding(mesh, spec))
 
 
 @partial(jax.jit, static_argnames=("ns_iters", "ir_rounds"))

@@ -118,3 +118,39 @@ class TestModelApiIntegration:
         p_direct = clf_model.predict_proba(theta, res_c, X)
         np.testing.assert_allclose(np.asarray(p_handle), np.asarray(p_direct),
                                    rtol=1e-6, atol=1e-8)
+
+
+class TestShardedServing:
+    def test_sharded_requests_match_single_device(self):
+        """Data-parallel serving: the SAME predictor handle fed a mesh-sharded
+        request batch must return identical predictions (GSPMD partitions the
+        Gram + mat-vec per chip; state replicates, no collectives)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from gaussianprocessnode_tpu.dists import MvGaussianNat
+        from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus
+        from gaussianprocessnode_tpu.serve import SGPRegressor, shard_requests
+
+        rng = np.random.default_rng(5)
+        M, D, N = 64, 4, 800
+        kernel = Kernel("se", transform="softplus")
+        Q = jnp.asarray(rng.standard_normal((M, M)))
+        reg = SGPRegressor.from_natural(
+            kernel, invsoftplus(jnp.ones(D + 1)),
+            jnp.asarray(rng.standard_normal((M, D))),
+            MvGaussianNat(jnp.asarray(rng.standard_normal(M)),
+                          Q @ Q.T / M + jnp.eye(M)),
+            1e4,
+        )
+        X = jnp.asarray(rng.standard_normal((N, D)))
+        mean_single, var_single = reg(X)
+        mesh = Mesh(jax.devices()[:8], ("dp",))
+        Xs = shard_requests(mesh, X)
+        mean_dp, var_dp = reg(Xs)
+        np.testing.assert_allclose(np.asarray(mean_dp), np.asarray(mean_single),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(var_dp), np.asarray(var_single),
+                                   rtol=1e-12)
+        # the output keeps the request sharding (per-chip slices, no gather)
+        assert not mean_dp.sharding.is_fully_replicated

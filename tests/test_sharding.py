@@ -166,3 +166,43 @@ class TestHeadlineTrainerDP:
             thetas.append(np.asarray(th))
         for th in thetas[1:]:
             np.testing.assert_allclose(th, thetas[0], atol=1e-10)
+
+
+class TestBananaTrainerDP:
+    """fit_banana_fast_dp ≡ fit_banana_fast at the real banana shapes
+    (M=500, N=4000 over 20 batches of 200, probit likelihood, carried
+    Gamma q(w)) — the non-conjugate headline trainer sharded."""
+
+    def test_dp_banana_trainer_matches_single_device_real_shapes(self):
+        from gaussianprocessnode_tpu.dists import GammaShapeRate
+        from gaussianprocessnode_tpu.infer.minibatch import fit_banana_fast
+        from gaussianprocessnode_tpu.parallel.sharding import (
+            fit_banana_fast_dp,
+            shard_batched_data,
+        )
+
+        r = np.random.default_rng(3)
+        M_, Din, B, batch = 500, 2, 20, 200  # 200/8 = 25 points per device
+        Xu = jnp.asarray(r.standard_normal((M_, Din)))
+        Xb = jnp.asarray(r.standard_normal((B, batch, Din)))
+        yb = jnp.asarray((r.uniform(size=(B, batch)) > 0.5).astype(float))
+        theta0 = invsoftplus(jnp.ones(Din + 1))
+        prior_v = MvGaussianNat(jnp.zeros(M_), jnp.eye(M_) / 50.0)
+        prior_w = GammaShapeRate(jnp.asarray(1e-2), jnp.asarray(1e-2))
+        epochs = 2
+
+        th1, nat1, qw1, _ = fit_banana_fast(
+            KER, theta0, Xu, Xb, yb, prior_v, prior_w, epochs
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        Xs, ys = shard_batched_data(mesh, Xb, yb)
+        th2, nat2, qw2, _ = fit_banana_fast_dp(
+            KER, theta0, Xu, Xs, ys, prior_v, prior_w, epochs, mesh
+        )
+        np.testing.assert_allclose(np.asarray(th2), np.asarray(th1), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(nat2.prec), np.asarray(nat1.prec),
+            atol=1e-6 * float(jnp.max(jnp.abs(nat1.prec))),
+        )
+        np.testing.assert_allclose(float(qw2.rate), float(qw1.rate), rtol=1e-8)
+        np.testing.assert_allclose(float(qw2.shape), float(qw1.shape), rtol=1e-12)
