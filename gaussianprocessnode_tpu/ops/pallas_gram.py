@@ -25,6 +25,11 @@ _BM = 256  # rows per tile (Z)
 _BN = 512  # cols per tile (X) — 256×512 measured fastest at the kin40k
 #            Gram shapes (600×10000: 0.68 ms vs 0.70 ms for XLA's fusion)
 
+# tests flip this to run the kernel through the Pallas interpreter on CPU so
+# the suite exercises the real pallas_call path (incl. the vma declaration
+# below, whose breakage is otherwise only visible on hardware under shard_map)
+_INTERPRET = False
+
 
 def _gram_kernel(z_ref, x_ref, zz_ref, xx_ref, var_ref, o_ref):
     from jax.experimental import pallas as pl  # noqa: F401
@@ -80,9 +85,27 @@ def _call_gram(grid, Zp, Xp, zz, xx, var):
     from jax.experimental.pallas import tpu as pltpu
 
     Mp, Np = Zp.shape[0], Xp.shape[0]
+    # inside a shard_map (the data-parallel trainers) pallas_call demands an
+    # explicit varying-manual-axes declaration on the out_shape — even an
+    # EMPTY one for fully-replicated Grams like Kuu (check_vma rejects
+    # vma=None outright). The output varies over the union of the inputs'
+    # axes (e.g. the 'dp' axis of the sharded X slab); an explicit empty set
+    # is also accepted outside shard_map, so declare it unconditionally.
+    # Operands are pvary'd up to that union so the kernel body sees
+    # vma-consistent avals (free on hardware; required by the interpreter).
+    args = (Zp, Xp, zz, xx, var)
+    try:
+        vma = frozenset().union(*(jax.typeof(a).vma for a in args))
+        args = tuple(
+            jax.lax.pvary(a, tuple(vma - jax.typeof(a).vma)) for a in args
+        )
+        out_shape = jax.ShapeDtypeStruct((Mp, Np), jnp.float32, vma=vma)
+    except (AttributeError, TypeError):  # older jax without aval/kwarg vma
+        out_shape = jax.ShapeDtypeStruct((Mp, Np), jnp.float32)
+    Zp, Xp, zz, xx, var = args
     return pl.pallas_call(
         _gram_kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        out_shape=out_shape,
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -100,12 +123,14 @@ def _call_gram(grid, Zp, Xp, zz, xx, var):
             out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
         ),
+        interpret=_INTERPRET,
     )(Zp, Xp, zz, xx, var)
 
 
 def se_gram_auto(Z, X, variance, lengthscales):
-    """Pallas SE Gram on TPU/f32; jnp fallback elsewhere."""
-    on_tpu = jax.default_backend() == "tpu"
+    """Pallas SE Gram on TPU/f32 (or interpreted, for tests); jnp fallback
+    elsewhere."""
+    on_tpu = jax.default_backend() == "tpu" or _INTERPRET
     if on_tpu and Z.dtype == jnp.float32 and X.dtype == jnp.float32:
         return se_gram_pallas(Z, X, variance, lengthscales)
     return _k.se_gram(Z, X, variance, lengthscales)

@@ -206,3 +206,65 @@ class TestBananaTrainerDP:
         )
         np.testing.assert_allclose(float(qw2.rate), float(qw1.rate), rtol=1e-8)
         np.testing.assert_allclose(float(qw2.shape), float(qw1.shape), rtol=1e-12)
+
+
+class TestPallasGramUnderShardMap:
+    """Regression: pallas_call inside a vma-checking shard_map requires an
+    EXPLICIT varying-manual-axes declaration on its out_shape — including an
+    empty one for fully-replicated Grams like Kuu (found running the DP
+    trainer with use_pallas=True on real TPU; ops/pallas_gram.py:_call_gram).
+    The interpreter flag runs the true pallas_call path on CPU."""
+
+    def _run_interpret(self, fn):
+        from gaussianprocessnode_tpu.ops import pallas_gram as pg
+
+        pg._INTERPRET = True
+        jax.clear_caches()  # se_gram_pallas's jit trace depends on the flag
+        try:
+            return fn()
+        finally:
+            pg._INTERPRET = False
+            jax.clear_caches()
+
+    def test_replicated_gram_under_shard_map(self):
+        """The exact crash case: a Kuu Gram whose operands are ALL replicated
+        inside the shard_map, so the vma union is empty — the out_shape must
+        still declare vma=frozenset(), not None. (The sharded-operand Gram is
+        vma-correct too but the Pallas HLO *interpreter* cannot evaluate
+        kernel-body literals under vma checking; that case is verified on
+        real hardware by the DP-trainer probe and the bench run.)"""
+        from gaussianprocessnode_tpu.ops import kernels as kern
+        from gaussianprocessnode_tpu.ops import pallas_gram as pg
+        from jax.sharding import PartitionSpec as P
+
+        r = np.random.default_rng(7)
+        Z = jnp.asarray(r.standard_normal((8, 3)), jnp.float32)
+        Xs = jnp.asarray(r.standard_normal((16,)), jnp.float32)
+        ls = jnp.asarray([0.7, 1.1, 1.4], jnp.float32)
+        mesh = make_mesh(jax.devices()[:2])
+
+        def local(x_loc):
+            Kuu = pg.se_gram_auto(Z, Z, 1.3, ls)  # vma = {} (replicated)
+            return jnp.sum(Kuu) + jax.lax.psum(jnp.sum(x_loc), "dp")
+
+        def run():
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=P("dp"), out_specs=P()
+            )(Xs)
+
+        got = float(self._run_interpret(run))
+        want = float(jnp.sum(kern.se_gram(Z, Z, 1.3, ls)) + jnp.sum(Xs))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_interpret_kernel_matches_reference_outside_shard_map(self):
+        from gaussianprocessnode_tpu.ops import kernels as kern
+        from gaussianprocessnode_tpu.ops import pallas_gram as pg
+
+        r = np.random.default_rng(8)
+        Z = jnp.asarray(r.standard_normal((13, 3)), jnp.float32)
+        Xs = jnp.asarray(r.standard_normal((29, 3)), jnp.float32)
+        ls = jnp.asarray([0.7, 1.1, 1.4], jnp.float32)
+        got = self._run_interpret(lambda: pg.se_gram_pallas(Z, Xs, 1.3, ls))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(kern.se_gram(Z, Xs, 1.3, ls)), atol=1e-6
+        )
