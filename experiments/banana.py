@@ -40,6 +40,7 @@ from gaussianprocessnode_tpu.infer.minibatch import (
 )
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.utils.datasets import banana
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
 
 
@@ -107,7 +108,7 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
                 # this tunneled backend the completion signal itself has
                 # been observed firing early (2.9 s reported for a 27 s
                 # run) — copying a value to the host cannot
-                _ = float(jnp.asarray(theta).ravel()[0])
+                block_via_host(theta)
                 break
             except jax.errors.JaxRuntimeError:
                 # transient tunnel faults only; real bugs propagate

@@ -101,5 +101,12 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
 
 
 if __name__ == "__main__":
+    # the positional count drives whichever optimizer is active: gradient
+    # epochs by default, NelderMead iterations under --nm
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run(nm_iters=int(args[0]) if args else 25, grad="--nm" not in sys.argv)
+    grad = "--nm" not in sys.argv
+    n = int(args[0]) if args else None
+    if grad:
+        run(grad_epochs=n if n is not None else 25, grad=True)
+    else:
+        run(nm_iters=n if n is not None else 25, grad=False)

@@ -57,6 +57,7 @@ from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.ops.linalg import ir_solve, spd_inverse_ns, sym
 from gaussianprocessnode_tpu.utils.datasets import kin40k
 from gaussianprocessnode_tpu.utils.metrics import smse
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 
 
 def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
@@ -124,7 +125,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     # computing (even when blocking on every leaf); copying
                     # a value to the host cannot return early, and θ is an
                     # output of the same executable as everything else
-                    _ = float(jnp.asarray(out[0]).ravel()[0])
+                    block_via_host(out[0])
                     break
                 except _transient_errors:
                     if attempt == 2:
@@ -157,7 +158,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                 100,
                 state0,
             )
-        jax.block_until_ready(theta)
+        block_via_host(theta)
         return theta, qv_nat, cov64
 
     t0 = time.time()

@@ -51,6 +51,7 @@ from gaussianprocessnode_tpu.infer.chain_smoother import (
 )
 from gaussianprocessnode_tpu.infer.training import lbfgs_solve
 from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, cholinv, sum_blocks_weighted, sym
 from gaussianprocessnode_tpu.ops.quadrature import SphericalRadial
@@ -181,7 +182,7 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     while done < epochs:
         n = min(chunk, epochs - done)
         carry, fe_c = hyperopt_chunk(carry, n)
-        jax.block_until_ready(fe_c)
+        block_via_host(fe_c)
         fe_chunks.append(np.asarray(fe_c))
         done += n
     theta, _, _ = carry

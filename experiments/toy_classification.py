@@ -33,6 +33,7 @@ from gaussianprocessnode_tpu.infer.batch_vmp import predict_probit
 from gaussianprocessnode_tpu.infer.training import fit_classification
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.utils.datasets import toy_classification, toy_classification_reference
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
 
 
@@ -59,7 +60,7 @@ def run(epochs: int = 500, n_iters: int = 30, m_inducing: int = 15, verbose: boo
         kernel, theta0, Xu, X, y, prior_v, prior_w, init_w,
         epochs=epochs, n_iters=n_iters,
     )
-    jax.block_until_ready(theta)
+    block_via_host(theta)
     elapsed = time.time() - t0
 
     probs = predict_probit(kernel, theta, Xu, Xt, res.qv.mean, gamma_mean(res.qw))

@@ -36,6 +36,7 @@ from gaussianprocessnode_tpu.infer.batch_vmp import predict_out
 from gaussianprocessnode_tpu.infer.training import fit_regression
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.utils.datasets import toy_sinc, toy_sinc_reference
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 from gaussianprocessnode_tpu.utils.metrics import smse
 
 
@@ -60,7 +61,7 @@ def run(epochs: int = 300, n_iters: int = 7, m_inducing: int = 20, verbose: bool
     theta, fe_trace, res = fit_regression(
         kernel, theta0, Xu, X, y, prior_v, prior_w, epochs=epochs, n_iters=n_iters
     )
-    jax.block_until_ready(theta)
+    block_via_host(theta)
     elapsed = time.time() - t0
 
     mean, _ = predict_out(kernel, theta, Xu, Xt, res.qv.mean, gamma_mean(res.qw))

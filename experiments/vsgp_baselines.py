@@ -36,6 +36,7 @@ from gaussianprocessnode_tpu.utils.datasets import (
     toy_sinc_reference,
 )
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error, smse
+from gaussianprocessnode_tpu.utils.profiling import block_via_host
 
 KERNEL = Kernel("se", transform="softplus")
 
@@ -84,7 +85,7 @@ def run_toy_regression(epochs: int = 5000, verbose: bool = True):
     params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
                       likelihood="gaussian", epochs=epochs, learning_rate=0.002,
                       learn_noise=False, jitter=1e-5)
-    jax.block_until_ready(params)
+    block_via_host(params)
     mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test), jitter=1e-5)
     score = float(smse(data.y_test, np.asarray(mean)))
     if verbose:
@@ -103,7 +104,7 @@ def run_toy_classification(epochs: int = 3000, verbose: bool = True):
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, X[None], y[None], len(y),
                       likelihood="bernoulli", epochs=epochs)
-    jax.block_until_ready(params)
+    block_via_host(params)
     mean, var = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test))
     probs = jax.scipy.stats.norm.cdf(mean / jnp.sqrt(1.0 + var))
     pred = (np.asarray(probs) >= 0.5).astype(float)
@@ -132,7 +133,7 @@ def run_kin40k(epochs: int = 2200, m_inducing: int = 512, batch: int = 500,
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, Xb, yb, len(ytr),
                       likelihood="gaussian", epochs=epochs, learn_noise=False)
-    jax.block_until_ready(params)
+    block_via_host(params)
     train_s = time.time() - t0
     mean, _ = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test, dtype))
     score = float(smse(data.y_test, np.asarray(mean)))
@@ -210,7 +211,7 @@ def run_kin40k_collapsed(steps: int = 400, eval_every: int = 25,
     th_c, os_c, tr_c = fit_svgp_collapsed_resumable(
         KERNEL, theta, opt_state, Xu, Xtr, ytr, noise,
         steps=eval_every, learning_rate=learning_rate, jitter=jitter)
-    jax.block_until_ready((th_c, os_c, tr_c))
+    block_via_host((th_c, os_c, tr_c))
 
     snapshots = []
     t0 = time.time()
@@ -268,7 +269,7 @@ def run_banana(epochs: int = 1000, m_inducing: int = 500, batch: int = 200,
     t0 = time.time()
     params = fit_svgp(KERNEL, params, Xu, Xb, yb, len(y),
                       likelihood="bernoulli", epochs=epochs)
-    jax.block_until_ready(params)
+    block_via_host(params)
     train_s = time.time() - t0
     mean, var = svgp_predict(KERNEL, params, Xu, jnp.asarray(data.x_test))
     probs = jax.scipy.stats.norm.cdf(mean / jnp.sqrt(1.0 + var))

@@ -39,6 +39,9 @@ __all__ = [
     "fit_banana",
     "fit_banana_fast",
     "init_banana_state",
+    "qv_grand_update",
+    "banana_epoch_stats",
+    "make_theta_step",
 ]
 
 # Newton–Schulz budgets: the q(v) precision and Kuu change little between
@@ -46,6 +49,98 @@ __all__ = [
 # state. The branchless guard in spd_inverse rejects stale warm starts.
 NS_ITERS_WARMUP = 40
 NS_ITERS_STEADY = 8
+
+
+def _identity(x):
+    return x
+
+
+def qv_grand_update(Kall64, y64, xi, prec, w64, cov_warm, ns_iters,
+                    ns_tol=None, reduce=_identity):
+    """ONE grand natural-parameter update of q(v) + the f64 refresh — the
+    shared numerical core of the fast trainers AND their data-parallel
+    variants (parallel/sharding.py):
+
+      ξ ← ξ + w·reduce(K y),  Λ ← sym(Λ + w·reduce(K Kᵀ)),
+      Σ = NS⁻¹(Λ) warm-started,  μ = IR-solve(Λ, ξ; Σ, 2 rounds).
+
+    ``reduce`` is identity single-device and ``lax.psum`` over the mesh axis
+    under shard_map — valid because both increments are pure data-sums over
+    the point dimension. Keeping the update in ONE place makes the
+    "DP ≡ single-device" guarantee structural rather than a
+    parallel-maintenance promise (tests/test_sharding.py)."""
+    hi = jax.lax.Precision.HIGHEST
+    xi = xi + w64 * reduce(jnp.matmul(Kall64, y64, precision=hi))
+    prec = sym(prec + w64 * reduce(jnp.matmul(Kall64, Kall64.T, precision=hi)))
+    cov64 = spd_inverse(prec, warm=cov_warm, iters=ns_iters, tol=ns_tol)
+    mu64 = ir_solve(prec, xi, cov64, rounds=2)
+    return xi, prec, cov64, mu64
+
+
+def make_theta_step(grad_one, optimizer, reduce=_identity):
+    """Scan body for the AdaMax θ-steps against frozen epoch statistics.
+
+    ``grad_one(theta, kuu_warm, batch) -> (grad, kuu_warm)`` computes the
+    (shard-local) objective gradient for one minibatch; ``reduce`` folds the
+    per-shard gradients into the full-batch gradient under shard_map (the
+    objective is a pure data-sum, so the psum of shard gradients IS the
+    full-batch gradient)."""
+
+    def theta_step(tc, batch):
+        th, os_, kw = tc
+        g, kw = grad_one(th, kw, batch)
+        g = reduce(g)
+        upd, os_ = optimizer.update(g, os_, th)
+        return (optax.apply_updates(th, upd), os_, kw), None
+
+    return theta_step
+
+
+def banana_epoch_stats(kernel, Xu, X, y, carry, N_global, refresh_ns_iters,
+                       dt, acc_dt, reduce=_identity):
+    """The grand per-epoch statistics pass of :func:`fit_banana_fast`
+    (see its docstring for the schedule): forward f-messages and probit
+    tilted marginals for (this shard of) the data, the reduced accumulating
+    q(v) update + f64 Newton–Schulz refresh, and the reduced carried q(w)
+    update (shape += N/2, rate += Σ(I1+I2)/2; trace forms of
+    UniSGPnode.jl:219-238).
+
+    Every global quantity is a pure data-sum over the point dimension, so
+    the single-device pass and the shard_map pass (``reduce=psum``,
+    ``N_global`` = pre-shard count) share this one implementation.
+    Returns ``(qf, xi, prec, cov64, mu_v, Rv, w_shape, w_rate)``."""
+    hi = jax.lax.Precision.HIGHEST
+    theta = carry.theta
+    Kall = kernel(theta, Xu, X)  # (M, N_local) — one MXU Gram
+    Kall64 = Kall.astype(acc_dt)
+    kxx = kernel.diag(theta, X)
+    w_mean = (carry.w_shape / carry.w_rate).astype(dt)
+    mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v, rounds=2).astype(dt)
+    # forward f messages → probit tilted marginals (a per-datum map)
+    f_fwd = jnp.matmul(Kall.T, mu_v_prev, precision=hi)
+    f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
+    qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y)
+    # ONE grand q(v) update (accumulating across epochs, PSD-exact f64)
+    w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
+    xi, prec, cov64, mu64 = qv_grand_update(
+        Kall64, qf.mean.astype(acc_dt), carry.xi_v, carry.prec_v, w64,
+        carry.cov_v, refresh_ns_iters, reduce=reduce,
+    )
+    mu_v = mu64.astype(dt)
+    Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
+    # ONE grand q(w) update (trace forms, UniSGPnode.jl:219-238)
+    I1 = jnp.maximum(
+        kxx - jnp.sum(Kall * jnp.matmul(carry.kuu_inv, Kall, precision=hi),
+                      axis=0), 0.0,
+    )
+    I2 = (
+        qf.mean**2 + qf.var
+        - 2.0 * qf.mean * jnp.matmul(Kall.T, mu_v, precision=hi)
+        + jnp.sum(Kall * jnp.matmul(Rv, Kall, precision=hi), axis=0)
+    )
+    w_shape = (carry.w_shape + 0.5 * N_global).astype(acc_dt)
+    w_rate = (carry.w_rate + 0.5 * reduce(jnp.sum(I1 + I2))).astype(acc_dt)
+    return qf, xi, prec, cov64, mu_v, Rv, w_shape, w_rate
 
 
 def default_optimizer(learning_rate=1e-3):
@@ -377,7 +472,6 @@ def fit_banana_fast(
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
-    hi = jax.lax.Precision.HIGHEST
     # grand arrays derived FROM the batches: a separately-passed (X, y)
     # invited silent (x, f) mispairing whenever the caller shuffled when
     # pre-batching — structurally impossible this way
@@ -395,48 +489,19 @@ def fit_banana_fast(
     grad_fn = jax.grad(objective, has_aux=True)
 
     def epoch(carry: MinibatchCarry, _):
-        theta = carry.theta
-        Kall = kernel(theta, Xu, X)  # (M, N) — one MXU Gram
-        Kall64 = Kall.astype(acc_dt)
-        kxx = kernel.diag(theta, X)
-        w_mean = (carry.w_shape / carry.w_rate).astype(dt)
-        mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v, rounds=2).astype(dt)
-        # forward f messages → probit tilted marginals for ALL points
-        f_fwd = jnp.matmul(Kall.T, mu_v_prev, precision=hi)
-        f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
-        qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y)
-        # ONE grand q(v) update (accumulating across epochs, PSD-exact f64)
-        w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
-        xi = carry.xi_v + w64 * jnp.matmul(Kall64, qf.mean.astype(acc_dt), precision=hi)
-        prec = sym(carry.prec_v + w64 * jnp.matmul(Kall64, Kall64.T, precision=hi))
-        cov = spd_inverse(prec, warm=carry.cov_v, iters=refresh_ns_iters)
-        mu64 = ir_solve(prec, xi, cov, rounds=2)
-        mu_v = mu64.astype(dt)
-        Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
-        # ONE grand q(w) update (trace forms, UniSGPnode.jl:219-238)
-        kuu_inv = carry.kuu_inv
-        I1 = jnp.maximum(
-            kxx - jnp.sum(Kall * jnp.matmul(kuu_inv, Kall, precision=hi), axis=0), 0.0
+        qf, xi, prec, cov, mu_v, Rv, w_shape, w_rate = banana_epoch_stats(
+            kernel, Xu, X, y, carry, N, refresh_ns_iters, dt, acc_dt
         )
-        I2 = (
-            qf.mean**2 + qf.var
-            - 2.0 * qf.mean * jnp.matmul(Kall.T, mu_v, precision=hi)
-            + jnp.sum(Kall * jnp.matmul(Rv, Kall, precision=hi), axis=0)
-        )
-        w_shape = (carry.w_shape + 0.5 * N).astype(acc_dt)
-        w_rate = (carry.w_rate + 0.5 * jnp.sum(I1 + I2)).astype(acc_dt)
         # 20 AdaMax θ-steps against the frozen epoch statistics
         qf_b = qf.mean.reshape(X_batched.shape[0], X_batched.shape[1])
 
-        def theta_step(tc, batch):
-            th, os_, kw = tc
+        def grad_one(th, kw, batch):
             Xb, fb = batch
-            g, kw = grad_fn(th, Xb, fb, mu_v, Rv, (w_shape / w_rate).astype(dt), kw)
-            upd, os_ = optimizer.update(g, os_, th)
-            return (optax.apply_updates(th, upd), os_, kw), None
+            return grad_fn(th, Xb, fb, mu_v, Rv, (w_shape / w_rate).astype(dt), kw)
 
         (theta, opt_state, kuu_inv), _ = jax.lax.scan(
-            theta_step, (theta, carry.opt_state, kuu_inv), (X_batched, qf_b)
+            make_theta_step(grad_one, optimizer),
+            (carry.theta, carry.opt_state, carry.kuu_inv), (X_batched, qf_b)
         )
         return MinibatchCarry(
             xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate
@@ -502,7 +567,6 @@ def fit_kin40k_fast(
     M = Xu.shape[0]
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
-    hi = jax.lax.Precision.HIGHEST
     kuu_jit = effective_jitter(dt)
 
     # the θ-objective keeps the working dtype: with HIGHEST-precision
@@ -543,12 +607,9 @@ def fit_kin40k_fast(
         def group_step(c, grp):
             xi, prec, covs64, theta, opt_state, kuu_inv = c
             Xg_, yg_, Xb_, yb_, g_idx = grp
-            Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
-            # Gram PRODUCT in f64 on the f32 Gram: exact-PSD (f32 product
-            # rounding ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS)
-            xi = xi + w_val * jnp.matmul(Kall, yg_.astype(acc_dt), precision=hi)
-            prec = sym(prec + w_val * jnp.matmul(Kall, Kall.T, precision=hi))
-            # warm start from the SAME group's inverse in the PREVIOUS epoch:
+            # Gram in f32 on the MXU, PRODUCT in f64 (f32 product rounding
+            # ~ε₃₂·λmax ≈ 1e2 makes Λ indefinite and blows up NS).
+            # Warm start from the SAME group's inverse in the PREVIOUS epoch:
             # the precision at group g is prior + g/G of a grand update, so
             # the previous *group's* estimate is off by an O(1) rank-B term
             # (useless as a warm start), while across epochs it differs only
@@ -559,24 +620,22 @@ def fit_kin40k_fast(
             # 500 kin40k epochs); a tol turns this into a while_loop early
             # exit, which this backend's per-iteration dispatch makes a NET
             # LOSS on TPU (kept for other backends).
-            cov64 = spd_inverse(
-                prec, warm=covs64[g_idx], iters=refresh_ns_iters,
-                tol=refresh_ns_tol,
+            Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
+            xi, prec, cov64, mu64 = qv_grand_update(
+                Kall, yg_.astype(acc_dt), xi, prec, w_val, covs64[g_idx],
+                refresh_ns_iters, ns_tol=refresh_ns_tol,
             )
             covs64 = jax.lax.dynamic_update_index_in_dim(covs64, cov64, g_idx, 0)
-            mu64 = ir_solve(prec, xi, cov64, rounds=2)
             mu_v = mu64.astype(obj_dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(obj_dt)
 
-            def theta_step(tc, batch):
-                th, os_, kw = tc
+            def grad_one(th, kw, batch):
                 Xb, yb = batch
-                g, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
-                upd, os_ = optimizer.update(g, os_, th)
-                return (optax.apply_updates(th, upd), os_, kw), None
+                return grad_fn(th, Xb, yb, mu_v, Rv, kw)
 
             (theta, opt_state, kuu_inv), _ = jax.lax.scan(
-                theta_step, (theta, opt_state, kuu_inv), (Xb_, yb_)
+                make_theta_step(grad_one, optimizer),
+                (theta, opt_state, kuu_inv), (Xb_, yb_)
             )
             return (xi, prec, covs64, theta, opt_state, kuu_inv), None
 

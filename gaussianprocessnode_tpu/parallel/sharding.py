@@ -111,8 +111,6 @@ def dp_train_step(kernel, theta, opt_state, optimizer, Xu, X, y,
 
     g = sharded_grad(theta, X, y)
     updates, opt_state = optimizer.update(g, opt_state, theta)
-    import optax
-
     theta = optax.apply_updates(theta, updates)
     return theta, opt_state, nat
 
@@ -195,15 +193,19 @@ def fit_kin40k_fast_dp(
     θ-step — all riding ICI. Numerically ≡ the single-device trainer up to
     f64 sum-reordering (tested to ~1e-9 relative in tests/test_sharding.py).
     """
-    from ..infer.minibatch import default_optimizer
+    from ..infer.minibatch import (
+        default_optimizer, make_theta_step, qv_grand_update,
+    )
 
     optimizer = default_optimizer(learning_rate)
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
-    hi = jax.lax.Precision.HIGHEST
     kuu_jit = effective_jitter(dt)
     B = X_batched.shape[0]
     Din = X_batched.shape[-1]
+
+    def psum_over(v):
+        return jax.lax.psum(v, axis)
 
     def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
         # LOCAL slice of the batch objective; data-dependent terms sum over
@@ -224,27 +226,23 @@ def fit_kin40k_fast_dp(
         def epoch(carry, _):
             xi0, prec0, cov64, theta, opt_state, kuu_inv = carry
             Kall = kernel(theta, Xu, X_loc).astype(acc_dt)  # local Gram slice
-            # grand q(v) update: psum of per-shard natural-param sums
-            xi_loc = w_val * jnp.matmul(Kall, y_loc.astype(acc_dt), precision=hi)
-            prec_loc = w_val * jnp.matmul(Kall, Kall.T, precision=hi)
-            xi = prior_v.xi.astype(acc_dt) + jax.lax.psum(xi_loc, axis)
-            prec = sym(prior_v.prec.astype(acc_dt) + jax.lax.psum(prec_loc, axis))
-            # replicated f64 refresh (warm start from the previous epoch)
-            cov64 = spd_inverse(prec, warm=cov64, iters=refresh_ns_iters)
-            mu64 = ir_solve(prec, xi, cov64, rounds=2)
+            # grand q(v) update (psum'd) + replicated f64 refresh — the SAME
+            # numerical core as the single-device trainer, by construction
+            xi, prec, cov64, mu64 = qv_grand_update(
+                Kall, y_loc.astype(acc_dt),
+                prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
+                w_val, cov64, refresh_ns_iters, reduce=psum_over,
+            )
             mu_v = mu64.astype(dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
 
-            def theta_step(tc, batch):
-                th, os_, kw = tc
+            def grad_one(th, kw, batch):
                 Xb, yb = batch
-                g_loc, kw = grad_fn(th, Xb, yb, mu_v, Rv, kw)
-                g = jax.lax.psum(g_loc, axis)  # full-batch gradient
-                upd, os_ = optimizer.update(g, os_, th)
-                return (optax.apply_updates(th, upd), os_, kw), None
+                return grad_fn(th, Xb, yb, mu_v, Rv, kw)
 
             (theta, opt_state, kuu_inv), _ = jax.lax.scan(
-                theta_step, (theta, opt_state, kuu_inv), (Xb_loc, yb_loc)
+                make_theta_step(grad_one, optimizer, reduce=psum_over),
+                (theta, opt_state, kuu_inv), (Xb_loc, yb_loc)
             )
             return (xi, prec, cov64, theta, opt_state, kuu_inv), None
 
@@ -297,17 +295,21 @@ def fit_banana_fast_dp(
     AdaMax update are replicated. Numerically ≡ the single-device trainer
     up to f64 sum reordering (tests/test_sharding.py)."""
     from ..dists import GammaShapeRate
-    from ..infer.minibatch import MinibatchCarry, default_optimizer, init_banana_state
-    from ..nodes import probit as probit_node
+    from ..infer.minibatch import (
+        MinibatchCarry, banana_epoch_stats, default_optimizer,
+        init_banana_state, make_theta_step,
+    )
 
     optimizer = default_optimizer(learning_rate)
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
-    hi = jax.lax.Precision.HIGHEST
     kuu_jit = effective_jitter(dt)
     B, batch = X_batched.shape[0], X_batched.shape[1]
     N = B * batch  # GLOBAL count (the shape seen here is pre-shard)
     Din = X_batched.shape[-1]
+
+    def psum_over(v):
+        return jax.lax.psum(v, axis)
 
     def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
         return neg_log_backwardmess_gram(
@@ -323,54 +325,23 @@ def fit_banana_fast_dp(
         b_loc = Xb_loc.shape[1]
 
         def epoch(carry: MinibatchCarry, _):
-            theta = carry.theta
-            Kall = kernel(theta, Xu, X_loc)  # (M, N/ndev) local Gram slice
-            Kall64 = Kall.astype(acc_dt)
-            kxx = kernel.diag(theta, X_loc)
-            w_mean = (carry.w_shape / carry.w_rate).astype(dt)
-            mu_v_prev = ir_solve(carry.prec_v, carry.xi_v, carry.cov_v,
-                                 rounds=2).astype(dt)
-            # per-datum probit tilting on the LOCAL slice
-            f_fwd = jnp.matmul(Kall.T, mu_v_prev, precision=hi)
-            f_var = jnp.full_like(f_fwd, 1.0 / w_mean)
-            qf = probit_node.tilted_marginal_batch(f_fwd, f_var, y_loc)
-            # grand q(v) update: psum of per-shard natural-param sums
-            w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
-            xi = carry.xi_v + w64 * jax.lax.psum(
-                jnp.matmul(Kall64, qf.mean.astype(acc_dt), precision=hi), axis)
-            prec = sym(carry.prec_v + w64 * jax.lax.psum(
-                jnp.matmul(Kall64, Kall64.T, precision=hi), axis))
-            cov = spd_inverse(prec, warm=carry.cov_v, iters=refresh_ns_iters)
-            mu64 = ir_solve(prec, xi, cov, rounds=2)
-            mu_v = mu64.astype(dt)
-            Rv = (cov + jnp.outer(mu64, mu64)).astype(dt)
-            # grand q(w) update: scalar psum of the local I1+I2 sums
-            kuu_inv = carry.kuu_inv
-            I1 = jnp.maximum(
-                kxx - jnp.sum(Kall * jnp.matmul(kuu_inv, Kall, precision=hi),
-                              axis=0), 0.0)
-            I2 = (
-                qf.mean**2 + qf.var
-                - 2.0 * qf.mean * jnp.matmul(Kall.T, mu_v, precision=hi)
-                + jnp.sum(Kall * jnp.matmul(Rv, Kall, precision=hi), axis=0)
+            # the SAME grand statistics pass as the single-device trainer,
+            # with the three global reductions psum'd over the mesh axis
+            qf, xi, prec, cov, mu_v, Rv, w_shape, w_rate = banana_epoch_stats(
+                kernel, Xu, X_loc, y_loc, carry, N, refresh_ns_iters,
+                dt, acc_dt, reduce=psum_over,
             )
-            w_shape = (carry.w_shape + 0.5 * N).astype(acc_dt)
-            w_rate = (carry.w_rate
-                      + 0.5 * jax.lax.psum(jnp.sum(I1 + I2), axis)).astype(acc_dt)
             # θ-steps on frozen epoch stats; psum'd per-batch gradients
             qf_b = qf.mean.reshape(Xb_loc.shape[0], b_loc)
 
-            def theta_step(tc, bt):
-                th, os_, kw = tc
+            def grad_one(th, kw, bt):
                 Xb, fb = bt
-                g_loc, kw = grad_fn(
+                return grad_fn(
                     th, Xb, fb, mu_v, Rv, (w_shape / w_rate).astype(dt), kw)
-                g = jax.lax.psum(g_loc, axis)
-                upd, os_ = optimizer.update(g, os_, th)
-                return (optax.apply_updates(th, upd), os_, kw), None
 
             (theta, opt_state, kuu_inv), _ = jax.lax.scan(
-                theta_step, (theta, carry.opt_state, kuu_inv), (Xb_loc, qf_b)
+                make_theta_step(grad_one, optimizer, reduce=psum_over),
+                (carry.theta, carry.opt_state, carry.kuu_inv), (Xb_loc, qf_b)
             )
             return MinibatchCarry(
                 xi, prec, cov, kuu_inv, theta, opt_state, w_shape, w_rate

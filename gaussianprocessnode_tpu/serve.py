@@ -112,21 +112,24 @@ def throughput(predictor, X_test, iters: int = 20):
     """Measured predictions/second for a serving handle at this batch shape
     (excludes the one-time compile).
 
-    Timing ends with a HOST MATERIALIZATION of an output scalar, not
-    ``block_until_ready``: on this tunneled backend the completion signal
-    has been observed firing while buffers are still computing (DEVIATIONS
-    #6a — a 27 s run reported 2.9 s with every leaf blocked), while a
-    device→host copy cannot return early. The copied scalar is one element;
-    its transfer cost is amortized over ``iters`` calls."""
+    Both the warmup and the timed window synchronize by HOST MATERIALIZATION
+    (:func:`~.utils.profiling.block_via_host`), not ``block_until_ready``:
+    on this tunneled backend the completion signal has been observed firing
+    while buffers are still computing (DEVIATIONS #6a — a 27 s run reported
+    2.9 s with every leaf blocked), while a device→host copy cannot return
+    early. Synchronizing the warmup the same way keeps unfinished
+    compile/first-execution work from leaking into the timed window; the
+    copied scalars' transfer cost is amortized over ``iters`` calls."""
     import time
 
+    from .utils.profiling import block_via_host
+
     out = predictor(X_test)
-    jax.block_until_ready(out)
+    block_via_host(out)
     t0 = time.time()
     for _ in range(iters):
         out = predictor(X_test)
-    leaf = out[0] if isinstance(out, tuple) else out
-    _ = float(jnp.asarray(leaf).ravel()[0])
+    block_via_host(out)
     dt = time.time() - t0
     n = jnp.shape(X_test)[0] if jnp.ndim(X_test) > 1 else len(X_test)
     return n * iters / dt

@@ -8,8 +8,26 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
 
-__all__ = ["device_trace", "timed"]
+__all__ = ["device_trace", "timed", "block_via_host"]
+
+
+def block_via_host(tree) -> None:
+    """Synchronize with the device by copying ONE element of every array
+    leaf of ``tree`` to the host.
+
+    On this tunneled backend ``jax.block_until_ready``'s completion signal
+    has been observed firing while buffers are still computing (DEVIATIONS
+    #6a: a 27 s run reported done at 2.9 s with every leaf blocked); a
+    device→host copy cannot return early. Cost: one-scalar transfer per
+    leaf. This is the ONE shared synchronization protocol for every timing
+    site (bench._clock, serve.throughput, experiments/kin40k's chunked
+    driver) — fix it here, not per call site."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        arr = jnp.asarray(leaf)
+        if arr.size:
+            float(arr.ravel()[0])
 
 
 @contextlib.contextmanager
