@@ -13,7 +13,9 @@ and reported separately — a persistent compilation cache in
 /root/repo/.jax_cache makes it ~seconds after the first-ever run).
 ``vs_baseline`` is the speedup over the reference SGP run at matched epoch
 count scaling (reference: 25.2 s/epoch). Round-2 record: 25.7 s / 500
-epochs at SMSE 0.0799 (reference: 12,600 s, SMSE 0.0834) = 489×.
+epochs at SMSE 0.0799 = 489×; round-3 record after the spectrum-scaled
+Newton–Schulz refresh (28 iterations vs 45): 20.2 s at SMSE 0.0798 = 622×
+(reference: 12,600 s, SMSE 0.0834).
 
 Also emits (VERDICT r2 item 4):
 - ``tflops`` / ``mfu``: model-FLOP rate of the training run from the
@@ -42,7 +44,7 @@ PEAK_BF16_TFLOPS = 197.0  # TPU v5e chip peak (bf16 MXU), the MFU denominator
 
 
 def kin40k_fast_flops_per_epoch(M=600, N=10_000, B=20, Din=8,
-                                refresh_ns_iters=45, obj_ns_iters=12):
+                                refresh_ns_iters=None, obj_ns_iters=12):
     """Model matmul-FLOPs per epoch of fit_kin40k_fast (stats_refreshes=1).
 
     Counts 2mnk per (m,k)×(k,n) matmul; elementwise work is O(MN) and
@@ -52,6 +54,11 @@ def kin40k_fast_flops_per_epoch(M=600, N=10_000, B=20, Din=8,
     ~2 matmuls per forward matmul except the NS inverse, whose custom VJP
     (Ā = −XᵀḡXᵀ) is 2 matmuls total.
     """
+    if refresh_ns_iters is None:  # track the trainer's actual default
+        from gaussianprocessnode_tpu.infer.minibatch import (
+            REFRESH_NS_ITERS_SCALED,
+        )
+        refresh_ns_iters = REFRESH_NS_ITERS_SCALED
     b = N // B
     m3 = float(M) ** 3
     gram_grand = 2.0 * M * N * Din  # sqdist cross-term of the M×N Gram
@@ -77,13 +84,15 @@ def main():
     flops_epoch = kin40k_fast_flops_per_epoch()
     flops_total = flops_epoch * EPOCHS
     # physical lower bound on the device time: the f64 Newton–Schulz refresh
-    # alone is (45·4+2)·600³ FLOP/epoch of f64 matmuls, and this chip's
-    # measured f64 emulation ceiling is ~1.05-1.08 TFLOP/s (ns_f64_tflops
-    # below; Mosaic has no f64 MXU path). Even at a 3× generous 3 TFLOP/s the
-    # 500-epoch run cannot finish under ~6.5 s — which catches DEVIATIONS
+    # alone is (iters·4+2)·600³ FLOP/epoch of f64 matmuls, and this chip's
+    # measured f64 emulation ceiling is ~1.05-1.2 TFLOP/s (ns_f64_tflops
+    # below; Mosaic has no f64 MXU path). Even at a ~3× generous 3 TFLOP/s
+    # the 500-epoch run cannot finish under ~4 s — which catches DEVIATIONS
     # #6a's observed anomaly (2.9 s reported for a 27 s run) that the old
     # `< 1.0 s` guard and an all-FLOPs/bf16-peak floor both missed (ADVICE r2)
-    f64_ns_flops_total = (45 * 4.0 + 2.0) * 600.0 ** 3 * EPOCHS
+    from gaussianprocessnode_tpu.infer.minibatch import REFRESH_NS_ITERS_SCALED
+
+    f64_ns_flops_total = (REFRESH_NS_ITERS_SCALED * 4.0 + 2.0) * 600.0 ** 3 * EPOCHS
     min_plausible_s = f64_ns_flops_total / 3e12
 
     def timed_run():

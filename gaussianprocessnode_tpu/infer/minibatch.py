@@ -27,7 +27,9 @@ import optax
 from ..dists import GammaShapeRate, MvGaussianNat
 from ..nodes import probit as probit_node
 from ..objectives import neg_log_backwardmess_gram
-from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
+from ..ops.linalg import (
+    effective_jitter, gershgorin_lambda_min, ir_solve, spd_inverse, sym,
+)
 
 __all__ = [
     "MinibatchCarry",
@@ -49,6 +51,15 @@ __all__ = [
 # state. The branchless guard in spd_inverse rejects stale warm starts.
 NS_ITERS_WARMUP = 40
 NS_ITERS_STEADY = 8
+# Cold refresh budget for the fast trainers' per-epoch q(v) statistics
+# refresh, which runs the SCALED Newton–Schulz (a rigorous λmin bound from
+# the prior precision is always available there): scaled convergence at the
+# kin40k/banana κ ~ 1e9-1e12 takes ~22-24 iterations to the f64 floor
+# (measured vs np.linalg.inv at κ=1e12: scaled-24 ≡ unscaled-45 at rel-err
+# ~2e-6 = κ·ε₆₄), so 28 carries a 4-6 iteration margin where the UNSCALED
+# budget needed 45 (and silently corrupted training at 30 — round-2 finding,
+# DEVIATIONS #6).
+REFRESH_NS_ITERS_SCALED = 28
 
 
 def _identity(x):
@@ -56,7 +67,7 @@ def _identity(x):
 
 
 def qv_grand_update(Kall64, y64, xi, prec, w64, cov_warm, ns_iters,
-                    ns_tol=None, reduce=_identity):
+                    ns_tol=None, reduce=_identity, lambda_min=None):
     """ONE grand natural-parameter update of q(v) + the f64 refresh — the
     shared numerical core of the fast trainers AND their data-parallel
     variants (parallel/sharding.py):
@@ -68,11 +79,19 @@ def qv_grand_update(Kall64, y64, xi, prec, w64, cov_warm, ns_iters,
     under shard_map — valid because both increments are pure data-sums over
     the point dimension. Keeping the update in ONE place makes the
     "DP ≡ single-device" guarantee structural rather than a
-    parallel-maintenance promise (tests/test_sharding.py)."""
+    parallel-maintenance promise (tests/test_sharding.py).
+
+    ``lambda_min``: rigorous λmin bound on the accumulated precision —
+    Λ = Λ_prior + Σ PSD increments ⪰ Λ_prior, so
+    :func:`~..ops.linalg.gershgorin_lambda_min` of the PRIOR precision is
+    valid for every epoch — enabling the optimally scaled Newton–Schulz
+    refresh (~22 converged iterations at κ~1e10 vs ~45 unscaled; see
+    spd_inverse_ns)."""
     hi = jax.lax.Precision.HIGHEST
     xi = xi + w64 * reduce(jnp.matmul(Kall64, y64, precision=hi))
     prec = sym(prec + w64 * reduce(jnp.matmul(Kall64, Kall64.T, precision=hi)))
-    cov64 = spd_inverse(prec, warm=cov_warm, iters=ns_iters, tol=ns_tol)
+    cov64 = spd_inverse(prec, warm=cov_warm, iters=ns_iters, tol=ns_tol,
+                        lambda_min=lambda_min)
     mu64 = ir_solve(prec, xi, cov64, rounds=2)
     return xi, prec, cov64, mu64
 
@@ -97,7 +116,7 @@ def make_theta_step(grad_one, optimizer, reduce=_identity):
 
 
 def banana_epoch_stats(kernel, Xu, X, y, carry, N_global, refresh_ns_iters,
-                       dt, acc_dt, reduce=_identity):
+                       dt, acc_dt, reduce=_identity, lambda_min=None):
     """The grand per-epoch statistics pass of :func:`fit_banana_fast`
     (see its docstring for the schedule): forward f-messages and probit
     tilted marginals for (this shard of) the data, the reduced accumulating
@@ -124,7 +143,7 @@ def banana_epoch_stats(kernel, Xu, X, y, carry, N_global, refresh_ns_iters,
     w64 = (carry.w_shape / carry.w_rate).astype(acc_dt)
     xi, prec, cov64, mu64 = qv_grand_update(
         Kall64, qf.mean.astype(acc_dt), carry.xi_v, carry.prec_v, w64,
-        carry.cov_v, refresh_ns_iters, reduce=reduce,
+        carry.cov_v, refresh_ns_iters, reduce=reduce, lambda_min=lambda_min,
     )
     mu_v = mu64.astype(dt)
     Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
@@ -443,7 +462,7 @@ def fit_banana_fast(
     epochs: int,
     learning_rate: float = 0.001,
     resume_state=None,
-    refresh_ns_iters: int = 45,
+    refresh_ns_iters: int = REFRESH_NS_ITERS_SCALED,
     obj_ns_iters: int = NS_ITERS_STEADY,
 ):
     """Epoch-granular banana trainer (the :func:`fit_banana` fixed point at
@@ -479,6 +498,8 @@ def fit_banana_fast(
     y = y_batched.reshape(-1)
     N = X.shape[0]
     kuu_jit = effective_jitter(dt)
+    # Λ accumulates PSD increments from the prior up → its λmin bound
+    lam_v = gershgorin_lambda_min(sym(prior_v.prec)).astype(acc_dt)
 
     def objective(th, Xb, f, mu_v, Rv, w, kuu_warm):
         return neg_log_backwardmess_gram(
@@ -490,7 +511,8 @@ def fit_banana_fast(
 
     def epoch(carry: MinibatchCarry, _):
         qf, xi, prec, cov, mu_v, Rv, w_shape, w_rate = banana_epoch_stats(
-            kernel, Xu, X, y, carry, N, refresh_ns_iters, dt, acc_dt
+            kernel, Xu, X, y, carry, N, refresh_ns_iters, dt, acc_dt,
+            lambda_min=lam_v,
         )
         # 20 AdaMax θ-steps against the frozen epoch statistics
         qf_b = qf.mean.reshape(X_batched.shape[0], X_batched.shape[1])
@@ -538,7 +560,7 @@ def fit_kin40k_fast(
     lr_decay_rate: float = 1.0,
     stats_refreshes: int = 1,
     resume_state=None,
-    refresh_ns_iters: int = 45,
+    refresh_ns_iters: int = REFRESH_NS_ITERS_SCALED,
     refresh_ns_tol: float | None = None,
     obj_ns_iters: int = 12,
     obj_ns_tol: float | None = None,
@@ -568,6 +590,9 @@ def fit_kin40k_fast(
     dt = theta0.dtype
     acc_dt = jnp.float64 if jax.config.jax_enable_x64 else dt
     kuu_jit = effective_jitter(dt)
+    # rigorous λmin bound for every epoch's Λ (⪰ the prior precision) —
+    # enables the scaled NS refresh (REFRESH_NS_ITERS_SCALED budget)
+    lam_v = gershgorin_lambda_min(sym(prior_v.prec)).astype(acc_dt)
 
     # the θ-objective keeps the working dtype: with HIGHEST-precision
     # contractions (see objectives / kernels.sqdist) the f32 gradient matches
@@ -623,7 +648,7 @@ def fit_kin40k_fast(
             Kall = kernel(theta.astype(dt), Xu, Xg_).astype(acc_dt)  # one MXU Gram
             xi, prec, cov64, mu64 = qv_grand_update(
                 Kall, yg_.astype(acc_dt), xi, prec, w_val, covs64[g_idx],
-                refresh_ns_iters, ns_tol=refresh_ns_tol,
+                refresh_ns_iters, ns_tol=refresh_ns_tol, lambda_min=lam_v,
             )
             covs64 = jax.lax.dynamic_update_index_in_dim(covs64, cov64, g_idx, 0)
             mu_v = mu64.astype(obj_dt)

@@ -126,7 +126,10 @@ def neg_log_backwardmess_gram(
     """
     hi = jax.lax.Precision.HIGHEST
     Kuu = kernel.kuu(theta, Xu, jitter=kuu_jitter)
-    Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters, tol=ns_tol)
+    # Kuu = PSD Gram + jitter·I ⪰ jitter·I, so the jitter is a rigorous λmin
+    # bound enabling the scaled Newton–Schulz cold start (0.0 → scaling off)
+    Kuu_inv = spd_inverse(Kuu, warm=kuu_inv_warm, iters=ns_iters, tol=ns_tol,
+                          lambda_min=kuu_jitter)
     kxx = kernel.diag(theta, X)
     Kux = kernel(theta, Xu, X)
     S = jnp.matmul(Kux, Kux.T, precision=hi)

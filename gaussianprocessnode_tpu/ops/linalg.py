@@ -128,14 +128,24 @@ def sum_blocks_weighted(Rv: jax.Array, W: jax.Array, D: int, M: int) -> jax.Arra
     return jnp.einsum("imjn,ij->mn", blocks, W)
 
 
+def gershgorin_lambda_min(A: jax.Array) -> jax.Array:
+    """A rigorous (possibly vacuous ≤ 0) lower bound on λ_min of symmetric
+    ``A``: min_i (A_ii − Σ_{j≠i}|A_ij|). Exact for diagonal matrices — e.g.
+    the trainers' I/50 prior precision → 0.02."""
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    off = jnp.sum(jnp.abs(A), axis=-1) - jnp.abs(d)
+    return jnp.min(d - off, axis=-1)
+
+
 def spd_inverse_ns(
     A: jax.Array,
     warm: jax.Array | None = None,
     iters: int = 30,
     tol: float | None = None,
+    lambda_min: jax.Array | float | None = None,
 ) -> jax.Array:
-    """Inverse of a symmetric positive-definite matrix by Newton–Schulz
-    iteration — matmul-only, no factorization.
+    """Inverse of a symmetric positive-definite matrix by (optionally
+    spectrum-scaled) Newton–Schulz iteration — matmul-only, no factorization.
 
     Motivation (TPU-native): on this backend XLA lowers cholesky /
     triangular_solve to while-loops with thousands of tiny ops (~4 µs per-op
@@ -143,9 +153,24 @@ def spd_inverse_ns(
     matmuls run at ~20 TFLOP/s. X_{k+1} = X_k(2I − A X_k) converges
     quadratically with the safe SPD init X₀ = I/‖A‖∞ and is pure MXU work.
 
+    ``lambda_min``: optional rigorous lower bound on λ_min(A) (e.g. the
+    trainers' prior precision floor: Λ = Λ_prior + Σ PSD ⪰ Λ_prior, so
+    :func:`gershgorin_lambda_min` of the prior is valid for every epoch's
+    Λ). Enables the OPTIMALLY SCALED iteration: carrying a spectrum
+    enclosure [a, b] ⊇ spec(A X_k), each step uses γ = 2/(a+b) and updates
+    X ← γX(2I − γAX), mapping the enclosure to [4ab/(a+b)², 1] — the
+    pre-asymptotic contraction becomes κ → κ/4 per iteration instead of
+    plain Newton–Schulz's κ/2, halving the cold-start budget (~22 vs ~45
+    iterations at the kin40k refresh's κ ~ 1e10; the dominant f64 cost of
+    the headline trainer). An over-claimed bound only slows convergence
+    below the tracked enclosure; it cannot diverge (γ·λ ≤ 2/(a+b)·b < 2).
+    With ``lambda_min=None`` the enclosure starts at [1, 1], γ ≡ 1, and the
+    update is arithmetically the classic iteration.
+
     ``warm``: previous estimate of A⁻¹ (e.g. from the last minibatch step).
-    Used only when ‖I − A·warm‖_F < 0.5, else falls back to the cold init —
-    a branchless jnp.where guard.
+    Used only when r = ‖I − A·warm‖_F < 0.5, else falls back to the cold
+    init — a branchless jnp.where guard. (When scaling is enabled, an
+    accepted warm start initializes the enclosure to [1−r, 1+r].)
 
     ``tol``: optional early exit — stop once ‖I − A X‖_F < tol (checked on
     the residual the iteration computes anyway). With a good warm start the
@@ -159,43 +184,78 @@ def spd_inverse_ns(
     # (ε≈8e-3), which stalls/diverges the iteration on ill-conditioned input
     mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     norm_inf = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
-    X0 = eye / norm_inf
+    one = jnp.asarray(1.0, A.dtype)
+    # The scaled iteration rides the edge of the stability region: the top of
+    # the enclosure maps through γ·b = 2b/(a+b), i.e. a safety margin of only
+    # 2 − γb ≈ 2a below the divergence threshold λ = 2. That is fine in f64
+    # (margin ≥ 2·κ⁻¹ ~ 1e-10 ≫ ε₆₄) but NOT in f32, where rounding ~ε₃₂·λ
+    # can push an eigenvalue past 2 and the iteration then diverges to a
+    # FINITE indefinite X the isfinite guard cannot see (observed: the banana
+    # trainer's f32 Kuu inverse, κ ~ 1/jitter, silently corrupting θ
+    # gradients). Scaling therefore requires f64.
+    f64_ok = float(jnp.finfo(A.dtype).eps) < 1e-9
+    if lambda_min is None or not f64_ok:
+        scale_on = jnp.asarray(False)
+        a_cold = b_cold = one  # γ ≡ 1: the classic unscaled iteration
+        lambda_min = None
+    else:
+        lm = jnp.asarray(lambda_min, A.dtype)
+        # vacuous bound (≤ 0) → enclosure (1, 1) → unscaled (bit-compatible
+        # with lambda_min=None, so a sentinel −1.0 disables scaling cleanly)
+        scale_on = lm > 0
+        a_cold = jnp.where(scale_on, lm / norm_inf, one)
+        b_cold = one  # spec(A/‖A‖∞) ≤ 1
+    X0, a0, b0 = eye / norm_inf, a_cold, b_cold
     if warm is not None:
         R = eye - mm(A, warm)
-        ok = jnp.sqrt(jnp.sum(R * R)) < 0.5
+        r = jnp.sqrt(jnp.sum(R * R))
+        ok = r < 0.5
         X0 = jnp.where(ok, warm, X0)
+        if lambda_min is not None:
+            # ‖I − A·warm‖_F ≥ spectral radius → spec(A·warm) ⊆ [1−r, 1+r]
+            ok_s = jnp.logical_and(ok, scale_on)
+            a0 = jnp.where(ok_s, one - r, a0)
+            b0 = jnp.where(ok_s, one + r, b0)
 
     X0_cold = eye / norm_inf
 
-    def step(X):
+    def step(X, a, b):
+        gamma = 2.0 / (a + b)
         R = eye - mm(A, X)
         rnorm = jnp.sqrt(jnp.sum(R * R))
-        Xn = X + mm(X, R)
+        # γX(2I − γAX) = γ((2−γ)X + γ·XR); γ = 1 → the classic X + XR
+        Xn = gamma * ((2.0 - gamma) * X + gamma * mm(X, R))
+        an = 4.0 * a * b / (a + b) ** 2
+        bn = one
         # branchless divergence guard: rounding can kick an eigenvalue of AX
         # past 2, after which the iteration explodes — restart cold
         ok = jnp.isfinite(jnp.sum(Xn))
-        return jnp.where(ok, Xn, X0_cold), rnorm
+        return (jnp.where(ok, Xn, X0_cold), rnorm,
+                jnp.where(ok, an, a_cold), jnp.where(ok, bn, b_cold))
 
     if tol is None:
-        def body(X, _):
-            Xn, _ = step(X)
-            return Xn, None
+        def body(c, _):
+            X, a, b = c
+            Xn, _, an, bn = step(X, a, b)
+            return (Xn, an, bn), None
 
-        X, _ = jax.lax.scan(body, X0, None, length=iters)
+        (X, _, _), _ = jax.lax.scan(body, (X0, a0, b0), None, length=iters)
     else:
         def cond(carry):
-            X, k, rnorm = carry
+            X, k, rnorm, a, b = carry
             # NOT(rnorm < tol) so a NaN residual (divergence → cold restart)
             # keeps iterating instead of exiting early
             return jnp.logical_and(k < iters, jnp.logical_not(rnorm < tol))
 
         def body(carry):
-            X, k, _ = carry
-            Xn, rnorm = step(X)
-            return Xn, k + 1, rnorm
+            X, k, _, a, b = carry
+            Xn, rnorm, an, bn = step(X, a, b)
+            return Xn, k + 1, rnorm, an, bn
 
-        X, _, _ = jax.lax.while_loop(
-            cond, body, (X0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, A.dtype))
+        X, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (X0, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, A.dtype),
+             a0, b0),
         )
     return sym(X)
 
@@ -203,13 +263,14 @@ def spd_inverse_ns(
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _spd_inverse_d(A: jax.Array, warm: jax.Array, iters: int, tol) -> jax.Array:
-    return spd_inverse_ns(A, warm, iters, tol=tol)
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spd_inverse_d(A: jax.Array, warm: jax.Array, lam: jax.Array,
+                   iters: int, tol) -> jax.Array:
+    return spd_inverse_ns(A, warm, iters, tol=tol, lambda_min=lam)
 
 
-def _spd_inverse_fwd(A, warm, iters, tol):
-    X = spd_inverse_ns(A, warm, iters, tol=tol)
+def _spd_inverse_fwd(A, warm, lam, iters, tol):
+    X = spd_inverse_ns(A, warm, iters, tol=tol, lambda_min=lam)
     return X, X
 
 
@@ -218,7 +279,7 @@ def _spd_inverse_bwd(iters, tol, X, g):
     # two matmuls, no differentiation through the iteration (full precision:
     # bf16 default passes add visible gradient noise)
     mm = _partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    return (-mm(mm(X, g), X), jnp.zeros_like(X))
+    return (-mm(mm(X, g), X), jnp.zeros_like(X), jnp.zeros((), X.dtype))
 
 
 _spd_inverse_d.defvjp(_spd_inverse_fwd, _spd_inverse_bwd)
@@ -229,11 +290,17 @@ def spd_inverse(
     warm: jax.Array | None = None,
     iters: int = 30,
     tol: float | None = None,
+    lambda_min: jax.Array | float | None = None,
 ) -> jax.Array:
-    """Differentiable SPD inverse (Newton–Schulz forward, analytic VJP)."""
+    """Differentiable SPD inverse (Newton–Schulz forward — optimally scaled
+    when a rigorous ``lambda_min`` bound is given — analytic VJP)."""
     if warm is None:
         warm = jnp.zeros_like(A)  # guard rejects it (‖I‖_F ≥ 0.5) → cold init
-    return _spd_inverse_d(A, warm, iters, tol)
+    if lambda_min is None:
+        lam = jnp.asarray(-1.0, A.dtype)  # ≤ 0 sentinel: scaling off
+    else:
+        lam = jnp.asarray(lambda_min, A.dtype)
+    return _spd_inverse_d(A, warm, lam, iters, tol)
 
 
 def ir_solve(A64: jax.Array, b64: jax.Array, M32: jax.Array, rounds: int = 3) -> jax.Array:

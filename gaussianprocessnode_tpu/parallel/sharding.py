@@ -21,8 +21,11 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..dists import MvGaussianNat
+from ..infer.minibatch import REFRESH_NS_ITERS_SCALED
 from ..objectives import neg_log_backwardmess_gram
-from ..ops.linalg import effective_jitter, ir_solve, spd_inverse, sym
+from ..ops.linalg import (
+    effective_jitter, gershgorin_lambda_min, ir_solve, spd_inverse, sym,
+)
 
 __all__ = [
     "make_mesh",
@@ -168,7 +171,7 @@ def fit_kin40k_fast_dp(
     axis: str = "dp",
     learning_rate: float = 0.001,
     resume_state=None,
-    refresh_ns_iters: int = 45,
+    refresh_ns_iters: int = REFRESH_NS_ITERS_SCALED,
     obj_ns_iters: int = 12,
 ):
     """Data-parallel :func:`~..infer.minibatch.fit_kin40k_fast` (the headline
@@ -203,6 +206,7 @@ def fit_kin40k_fast_dp(
     kuu_jit = effective_jitter(dt)
     B = X_batched.shape[0]
     Din = X_batched.shape[-1]
+    lam_v = gershgorin_lambda_min(sym(prior_v.prec)).astype(acc_dt)
 
     def psum_over(v):
         return jax.lax.psum(v, axis)
@@ -232,6 +236,7 @@ def fit_kin40k_fast_dp(
                 Kall, y_loc.astype(acc_dt),
                 prior_v.xi.astype(acc_dt), prior_v.prec.astype(acc_dt),
                 w_val, cov64, refresh_ns_iters, reduce=psum_over,
+                lambda_min=lam_v,
             )
             mu_v = mu64.astype(dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
@@ -281,7 +286,7 @@ def fit_banana_fast_dp(
     axis: str = "dp",
     learning_rate: float = 0.001,
     resume_state=None,
-    refresh_ns_iters: int = 45,
+    refresh_ns_iters: int = REFRESH_NS_ITERS_SCALED,
     obj_ns_iters: int = 8,  # = minibatch.NS_ITERS_STEADY, fit_banana_fast's default
 ):
     """Data-parallel :func:`~..infer.minibatch.fit_banana_fast` — the probit
@@ -307,6 +312,7 @@ def fit_banana_fast_dp(
     B, batch = X_batched.shape[0], X_batched.shape[1]
     N = B * batch  # GLOBAL count (the shape seen here is pre-shard)
     Din = X_batched.shape[-1]
+    lam_v = gershgorin_lambda_min(sym(prior_v.prec)).astype(acc_dt)
 
     def psum_over(v):
         return jax.lax.psum(v, axis)
@@ -329,7 +335,7 @@ def fit_banana_fast_dp(
             # with the three global reductions psum'd over the mesh axis
             qf, xi, prec, cov, mu_v, Rv, w_shape, w_rate = banana_epoch_stats(
                 kernel, Xu, X_loc, y_loc, carry, N, refresh_ns_iters,
-                dt, acc_dt, reduce=psum_over,
+                dt, acc_dt, reduce=psum_over, lambda_min=lam_v,
             )
             # θ-steps on frozen epoch stats; psum'd per-batch gradients
             qf_b = qf.mean.reshape(Xb_loc.shape[0], b_loc)

@@ -400,6 +400,61 @@ class TestNewtonSchulz:
             r = np.linalg.norm(np.eye(50) - np.asarray(A) @ np.asarray(X_tol))
             assert r < 1e-8 * kappa, (kappa, r)
 
+    def test_scaled_spd_inverse_halves_cold_budget(self):
+        """The optimally scaled iteration (rigorous lambda_min bound →
+        enclosure-tracked γ = 2/(a+b)) must converge in ~half the cold
+        budget: at κ=1e12, scaled-24 reaches the f64 floor (κ·ε₆₄ ~ 1e-4
+        relative) where unscaled-24 has made no progress; and an over-claimed
+        bound must still converge, just slower (never diverge)."""
+        kappa = 1e12
+        d = np.geomspace(1.0, kappa, 80)
+        Q = np.linalg.qr(np.random.default_rng(11).standard_normal((80, 80)))[0]
+        A = jnp.asarray(Q @ np.diag(d) @ Q.T)
+        X_true = np.asarray(Q @ np.diag(1.0 / d) @ Q.T)
+        scale = np.max(np.abs(X_true))
+
+        X_sc = la.spd_inverse_ns(A, iters=24, lambda_min=1.0)
+        err_sc = np.max(np.abs(np.asarray(X_sc) - X_true)) / scale
+        assert err_sc < 1e-4, err_sc
+        X_un = la.spd_inverse_ns(A, iters=24)
+        err_un = np.max(np.abs(np.asarray(X_un) - X_true)) / scale
+        assert err_un > 0.1, err_un  # unscaled is nowhere at this budget
+        # over-claimed bound (λmin_true = 1, claim 1e3): monotone, no blow-up,
+        # and a doubled budget still converges
+        X_over = la.spd_inverse_ns(A, iters=60, lambda_min=1e3)
+        err_over = np.max(np.abs(np.asarray(X_over) - X_true)) / scale
+        assert np.isfinite(err_over) and err_over < 1e-4, err_over
+
+    def test_scaled_spd_inverse_sentinel_matches_unscaled_bitwise(self):
+        """lambda_min ≤ 0 (the spd_inverse None sentinel) must reproduce the
+        classic iteration bit-for-bit — γ ≡ 1 multiplies by exact 1.0."""
+        A = random_psd(40)
+        X_plain = la.spd_inverse_ns(A, iters=20)
+        X_sent = la.spd_inverse_ns(A, iters=20, lambda_min=-1.0)
+        np.testing.assert_array_equal(np.asarray(X_plain), np.asarray(X_sent))
+
+    def test_scaled_spd_inverse_gradient(self):
+        """The analytic VJP holds for the scaled forward too (the fixed
+        point, not the path, defines the derivative)."""
+        A = random_psd(12)
+        lam = la.gershgorin_lambda_min(A)
+
+        def f(a):
+            s = 0.5 * (a + a.T)
+            return jnp.sum(jnp.sin(la.spd_inverse(s, iters=60, lambda_min=lam)))
+
+        g = jax.grad(f)(A)
+        g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(jnp.linalg.inv(0.5 * (a + a.T)))))(A)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
+
+    def test_gershgorin_lambda_min(self):
+        A = random_psd(30)
+        lb = float(la.gershgorin_lambda_min(A))
+        lmin = float(np.linalg.eigvalsh(np.asarray(A)).min())
+        assert lb <= lmin + 1e-12
+        D = jnp.asarray(np.diag([0.02, 3.0, 7.0]))
+        assert float(la.gershgorin_lambda_min(D)) == 0.02  # exact on diagonal
+
     def test_ir_solve_reaches_f64_accuracy_with_crude_preconditioner(self):
         """ir_solve must recover the f64 solution even when the approximate
         inverse is only ~1e-2 accurate (the early-minibatch regime)."""
