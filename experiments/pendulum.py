@@ -28,6 +28,21 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# --sp[=N]: run the final smoothing SEQUENCE-PARALLEL over N virtual CPU
+# devices (time-axis sharding, parallel/seq_parallel.py). The device count
+# must be fixed via XLA_FLAGS before the backend initializes.
+_SP = 0
+for _a in _sys.argv[1:]:
+    if _a == "--sp":
+        _SP = 4  # 300 training steps shard evenly over 4 devices
+    elif _a.startswith("--sp="):
+        _SP = int(_a.split("=", 1)[1])
+if _SP > 1:
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_SP}"
+    )
+
 import sys
 import time
 
@@ -62,7 +77,7 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         fresh_estep: bool = False, use_lbfgs: bool = True,
         adamax_lr: float = 0.01, adamax_decay: float = 0.2,
-        verbose: bool = True):
+        verbose: bool = True, sp_devices: int = 0):
     x_state, y_obs, Q, P, dt = pendulum()
     n_train = 300
     y_train = jnp.asarray(y_obs[:n_train])
@@ -198,11 +213,27 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     # (cell 23). At the reference's recorded θ* both engines converge to its
     # recorded SMSE on a difficulty-matched draw (Jacobi needs ~100 sweeps,
     # Gauss–Seidel ~60); Jacobi is batched and faster, so run it to
-    # convergence here.
-    state, fe = gpssm_vmp(
-        kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
-        prior_v, 100.0, jnp.eye(2), n_iters=150,
-    )
+    # convergence here. With --sp[=N] the same Jacobi sweeps run
+    # SEQUENCE-PARALLEL: the 300-step time axis sharded over an N-device
+    # mesh with ppermute neighbor halos (parallel/seq_parallel.py).
+    if sp_devices > 1:
+        from gaussianprocessnode_tpu.parallel.seq_parallel import (
+            gpssm_vmp_sp,
+            shard_chain_data,
+        )
+        from gaussianprocessnode_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(jax.devices()[:sp_devices], axis="sp")
+        state, fe = gpssm_vmp_sp(
+            kernel, theta, Xu, shard_chain_data(mesh, y_train), P_j,
+            prior_x0_mean, prior_x0_cov, prior_v, 100.0, jnp.eye(2),
+            mesh=mesh, n_iters=150,
+        )
+    else:
+        state, fe = gpssm_vmp(
+            kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
+            prior_v, 100.0, jnp.eye(2), n_iters=150,
+        )
     sm1 = float(smse(x_true_train[:, 0], np.asarray(state.x_means[1:, 0])))
     sm2 = float(smse(x_true_train[:, 1], np.asarray(state.x_means[1:, 1])))
 
@@ -254,6 +285,6 @@ if __name__ == "__main__":
         # recorded number (VERDICT r2 item 8).
         run(epochs=int(args[0]) if args else 150, n_iters=25,
             adamax_steps=100, fresh_estep=True, use_lbfgs=False,
-            adamax_lr=0.002, adamax_decay=1.0)
+            adamax_lr=0.002, adamax_decay=1.0, sp_devices=_SP)
     else:
-        run(epochs=int(args[0]) if args else 150)
+        run(epochs=int(args[0]) if args else 150, sp_devices=_SP)
