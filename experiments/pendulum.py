@@ -38,6 +38,12 @@ for _a in _sys.argv[1:]:
     elif _a.startswith("--sp="):
         _SP = int(_a.split("=", 1)[1])
 if _SP > 1:
+    if 300 % _SP != 0:  # fail now, not after the ~3-min hyperopt: the
+        # smoothing shards the fixed 300-step training chain
+        raise SystemExit(
+            f"--sp={_SP}: 300 training steps do not shard evenly over "
+            f"{_SP} devices (use a divisor of 300, e.g. 2, 4, 6, 10)"
+        )
     _os.environ["XLA_FLAGS"] = (
         _os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={_SP}"

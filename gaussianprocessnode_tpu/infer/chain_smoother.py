@@ -31,13 +31,14 @@ from ..dists import (
     MvGaussian,
     MvGaussianNat,
     WishartFast,
+    _mv_gammaln,
     mv_gaussian_entropy,
     mv_nat_to_meancov,
     wishart_entropy,
     wishart_mean,
     wishart_mean_logdet,
 )
-from ..nodes.multisgp import MultiSGPArgs, _split_blocks
+from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
 from ..ops.linalg import (
@@ -69,6 +70,111 @@ def _qv_stats(xi, prec):
     natural-to-moments conversion in the package)."""
     q = mv_nat_to_meancov(MvGaussianNat(xi, prec))
     return q.mean, q.cov
+
+
+def _identity(x):
+    return x
+
+
+def chain_qv_qw_updates(kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv,
+                        prior_W_df, T_global, in_means, in_covs, out_means,
+                        out_covs, W_mean, dt, reduce=_identity):
+    """The global q(v) + q(W) updates of one chain sweep — the shared
+    numerical core of both dense engines (Jacobi / Gauss–Seidel,
+    ``reduce=identity`` on the full T-length arrays) AND the time-sharded
+    sequence-parallel engine (``reduce=lax.psum`` on each shard's local
+    slice + halo): every global quantity is a pure data-sum over t, exactly
+    as in :func:`~.minibatch.qv_grand_update` for the iid trainers, so
+    keeping ONE implementation makes "sharded ≡ dense" structural.
+
+    q(v): ξ = ξ₀ + Σ_t (W̄ μ_{x_t}) ⊗ Ψ1_t,  Λ = Λ₀ + W̄ ⊗ ΣΨ2_t
+    (MultiSGPnode.jl:290-308); q(W): WishartFast(ν₀+T, S₀⁻¹+ΣI1_t+ΣI2_t)
+    (MultiSGPnode.jl:367-405). Returns (xi_v, prec_v, W_df, W_rate)."""
+    M = Xu.shape[0]
+    D = W_mean.shape[0]
+    T_loc = in_means.shape[0]
+    psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
+        kernel, theta, Xu, sr, in_means, in_covs
+    )
+    sum_psi2 = reduce(psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T_loc,), dt)))
+    yW = out_means @ W_mean.T  # (T_loc, D)
+    xi_v = prior_v.xi + reduce(jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1))
+    prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
+    mu_v, cov_v = _qv_stats(xi_v, prec_v)
+    Rv = cov_v + jnp.outer(mu_v, mu_v)
+    mu_blocks = _split_blocks(mu_v, M, D)
+
+    KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
+    tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
+    I1_sum = reduce(jnp.sum(psi0_in - tr_t)) * jnp.eye(D, dtype=dt)
+    E_t = (mu_blocks @ psi1_in).T  # (T_loc, D)
+    Ry_sum = reduce(
+        jnp.einsum("td,te->de", out_means, out_means) + jnp.sum(out_covs, 0)
+    )
+    cross = reduce(jnp.einsum("td,te->de", out_means, E_t))
+    Rv4 = Rv.reshape(D, M, D, M)
+    psi4_sum = reduce(jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq))
+    I2_sum = Ry_sum - cross - cross.T + psi4_sum
+    W_df = prior_W_df + T_global
+    W_rate = sym(S0_inv + I1_sum + I2_sum)
+    return xi_v, prec_v, W_df, W_rate
+
+
+def chain_fe_terms(kernel, theta, Xu, Kuu_inv, ys_loc, Pobs, prior_x0_mean,
+                   prior_x0_cov, prior_v, prior_W_df, prior_W_scale,
+                   x0_m, x0_V, means_loc, covs_loc, in_means, in_covs,
+                   xi_v, prec_v, W_df, W_rate, sr, reduce=_identity):
+    """Bethe free energy of the chain — shared between the dense engines
+    (full arrays, identity reduce) and the sequence-parallel engine (local
+    slices, psum reduce): per-node/per-obs energies and marginal entropies
+    are data-sums over t; the prior terms (x0, v, W) are replicated."""
+    D = ys_loc.shape[1]
+    T_loc = ys_loc.shape[0]
+    dt = ys_loc.dtype
+    args = MultiSGPArgs(theta, Xu, Kuu_inv)
+    mu_v, cov_v = _qv_stats(xi_v, prec_v)
+    qW = WishartFast(W_df, W_rate)
+    W_mean = wishart_mean(qW)
+    E_logdet_W = wishart_mean_logdet(qW)
+
+    def node_energy(m_out, V_out, m_in, V_in):
+        return average_energy(
+            kernel, sr, args, m_out, V_out, MvGaussian(m_in, V_in),
+            mu_v, cov_v, W_mean, E_logdet_W,
+        )
+
+    U_nodes = reduce(jnp.sum(
+        jax.vmap(node_energy)(means_loc, covs_loc, in_means, in_covs)
+    ))
+    Lp = chol_lower(sym(Pobs))
+    P_inv = cholinv(sym(Pobs))
+    d_res = ys_loc - means_loc
+    U_obs = reduce(0.5 * (
+        T_loc * (D * _LOG2PI + logdet_from_chol(Lp))
+        + jnp.einsum("td,de,te->", d_res, P_inv, d_res)
+        + jnp.einsum("de,ted->", P_inv, covs_loc)
+    ))
+    H_x = reduce(jnp.sum(jax.vmap(
+        lambda m, V: mv_gaussian_entropy(MvGaussian(m, V))
+    )(means_loc, covs_loc))) + mv_gaussian_entropy(MvGaussian(x0_m, x0_V))
+
+    # replicated prior terms
+    U_x0 = prior_energy_mvn(x0_m, x0_V, prior_x0_mean, prior_x0_cov)
+    mu_p, cov_p = _qv_stats(prior_v.xi, prior_v.prec)
+    U_v = prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
+    S0_inv = cholinv(sym(prior_W_scale))
+    ld_S0 = logdet_from_chol(chol_lower(sym(prior_W_scale)))
+    nu0 = jnp.asarray(prior_W_df, dt)
+    U_W = -(
+        (nu0 - D - 1.0) / 2.0 * E_logdet_W
+        - 0.5 * jnp.sum(S0_inv * W_mean.T)
+        - nu0 * D / 2.0 * jnp.log(2.0)
+        - nu0 / 2.0 * ld_S0
+        - _mv_gammaln(nu0 / 2.0, D)
+    )
+    H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+    H_W = wishart_entropy(qW)
+    return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
@@ -164,33 +270,12 @@ def gpssm_vmp(
         new_means = jnp.concatenate([m0[None], m_mid, mean_g[-1:]], 0)
         new_covs = jnp.concatenate([V0[None], V_mid, cov_g[None]], 0)
 
-        # ---- 2. q(v) ------------------------------------------------------
-        psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
-            kernel, theta, Xu, sr, new_means[:-1], new_covs[:-1]
+        # ---- 2./3. q(v) + q(W): the shared global-update core --------------
+        xi_v, prec_v, W_df, W_rate = chain_qv_qw_updates(
+            kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv, prior_W_df, T,
+            new_means[:-1], new_covs[:-1], new_means[1:], new_covs[1:],
+            W_mean, dt,
         )
-        sum_psi2 = psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T,), dt))
-        yW = new_means[1:] @ W_mean.T  # (T, D)
-        xi_v = prior_v.xi + jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1)
-        prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
-        mu_v, cov_v = _qv_stats(xi_v, prec_v)
-        Rv = cov_v + jnp.outer(mu_v, mu_v)
-        mu_blocks = _split_blocks(mu_v, M, D)
-
-        # ---- 3. q(W) ------------------------------------------------------
-        # Σ_t I1_t: trace terms per t
-        KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
-        tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
-        I1_sum = jnp.sum(psi0_in - tr_t) * jnp.eye(D, dtype=dt)
-        # Σ_t I2_t
-        E_t = (mu_blocks @ psi1_in).T  # (T, D)
-        mu_out = new_means[1:]
-        Ry_sum = jnp.einsum("td,te->de", mu_out, mu_out) + jnp.sum(new_covs[1:], 0)
-        cross = jnp.einsum("td,te->de", mu_out, E_t)
-        Rv4 = Rv.reshape(D, M, D, M)
-        psi4_sum = jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq)
-        I2_sum = Ry_sum - cross - cross.T + psi4_sum
-        W_df = prior_W_df + T
-        W_rate = sym(S0_inv + I1_sum + I2_sum)
 
         new_state = GPSSMState(new_means, new_covs, xi_v, prec_v, W_df, W_rate)
         return new_state, None
@@ -216,70 +301,17 @@ def gpssm_vmp(
 def gpssm_free_energy(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
                       prior_v: MvGaussianNat, prior_W_df, prior_W_scale,
                       state: GPSSMState):
-    """Bethe free energy of the chain under the mean-field q."""
-    from ..nodes.multisgp import average_energy
-
-    T, D = ys.shape
-    M = Xu.shape[0]
-    dt = ys.dtype
+    """Bethe free energy of the chain under the mean-field q — the dense
+    (full-array, identity-reduce) view of :func:`chain_fe_terms`."""
     sr = quad.SphericalRadial()
     Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
-    args = MultiSGPArgs(theta, Xu, Kuu_inv)
-
-    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
-    qW = WishartFast(state.W_df, state.W_rate)
-    W_mean = wishart_mean(qW)
-    E_logdet_W = wishart_mean_logdet(qW)
-
-    # Σ_t MultiSGP node energies
-    def node_energy(m_out, V_out, m_in, V_in):
-        return average_energy(
-            kernel, sr, args, m_out, V_out, MvGaussian(m_in, V_in),
-            mu_v, cov_v, W_mean, E_logdet_W,
-        )
-
-    U_nodes = jnp.sum(
-        jax.vmap(node_energy)(
-            state.x_means[1:], state.x_covs[1:], state.x_means[:-1], state.x_covs[:-1]
-        )
+    return chain_fe_terms(
+        kernel, theta, Xu, Kuu_inv, ys, P, prior_x0_mean, prior_x0_cov,
+        prior_v, prior_W_df, prior_W_scale,
+        state.x_means[0], state.x_covs[0], state.x_means[1:], state.x_covs[1:],
+        state.x_means[:-1], state.x_covs[:-1],
+        state.xi_v, state.prec_v, state.W_df, state.W_rate, sr,
     )
-
-    # Σ_t observation energies: −E[log N(y_t; x_t, P)]
-    Lp = chol_lower(sym(P))
-    P_inv = cholinv(sym(P))
-    d = ys - state.x_means[1:]
-    U_obs = 0.5 * (
-        T * (D * _LOG2PI + logdet_from_chol(Lp))
-        + jnp.einsum("td,de,te->", d, P_inv, d)
-        + jnp.einsum("de,ted->", P_inv, state.x_covs[1:])
-    )
-
-    # priors
-    U_x0 = prior_energy_mvn(state.x_means[0], state.x_covs[0], prior_x0_mean, prior_x0_cov)
-    mu_p, cov_p = _qv_stats(prior_v.xi, prior_v.prec)
-    U_v = prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
-    # −E_q[log Wishart(W; ν₀, S₀)]
-    S0_inv = cholinv(sym(prior_W_scale))
-    ld_S0 = logdet_from_chol(chol_lower(sym(prior_W_scale)))
-    nu0 = jnp.asarray(prior_W_df, dt)
-    from ..dists import _mv_gammaln
-
-    U_W = -(
-        (nu0 - D - 1.0) / 2.0 * E_logdet_W
-        - 0.5 * jnp.sum(S0_inv * W_mean.T)
-        - nu0 * D / 2.0 * jnp.log(2.0)
-        - nu0 / 2.0 * ld_S0
-        - _mv_gammaln(nu0 / 2.0, D)
-    )
-
-    # entropies
-    H_x = jnp.sum(
-        jax.vmap(lambda m, V: mv_gaussian_entropy(MvGaussian(m, V)))(state.x_means, state.x_covs)
-    )
-    H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
-    H_W = wishart_entropy(qW)
-
-    return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
 
 
 # ---------------------------------------------------------------------------
@@ -411,30 +443,13 @@ def gpssm_vmp_sequential(
         new_means = jnp.concatenate([m0[None], means_seq], 0)
         new_covs = jnp.concatenate([V0[None], covs_seq], 0)
 
-        # q(v) and q(W): same batched updates as the Jacobi engine
-        psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
-            kernel, theta, Xu, sr, new_means[:-1], new_covs[:-1]
+        # q(v) and q(W): the same shared global-update core as the Jacobi
+        # engine
+        xi_v, prec_v, W_df, W_rate = chain_qv_qw_updates(
+            kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv, prior_W_df, T,
+            new_means[:-1], new_covs[:-1], new_means[1:], new_covs[1:],
+            W_mean, dt,
         )
-        sum_psi2 = psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T,), dt))
-        yW = new_means[1:] @ W_mean.T
-        xi_v = prior_v.xi + jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1)
-        prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
-        mu_v, cov_v = _qv_stats(xi_v, prec_v)
-        Rv = cov_v + jnp.outer(mu_v, mu_v)
-        mu_blocks = _split_blocks(mu_v, M, D)
-
-        KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
-        tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
-        I1_sum = jnp.sum(psi0_in - tr_t) * jnp.eye(D, dtype=dt)
-        E_t = (mu_blocks @ psi1_in).T
-        mu_out = new_means[1:]
-        Ry_sum = jnp.einsum("td,te->de", mu_out, mu_out) + jnp.sum(new_covs[1:], 0)
-        cross = jnp.einsum("td,te->de", mu_out, E_t)
-        Rv4 = Rv.reshape(D, M, D, M)
-        psi4_sum = jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq)
-        I2_sum = Ry_sum - cross - cross.T + psi4_sum
-        W_df = prior_W_df + T
-        W_rate = sym(S0_inv + I1_sum + I2_sum)
 
         return GPSSMState(new_means, new_covs, xi_v, prec_v, W_df, W_rate), None
 

@@ -50,6 +50,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 __all__ = ["ozaki_matmul", "OZAKI_SLICES"]
 
@@ -59,36 +60,43 @@ OZAKI_SLICES = 8
 _BITS = 7
 # exact powers of two 2^-1022 .. 2^1022 (python floats, so bit-exact)
 _EMAX = 1022
-import numpy as _np
-
 _POW2_TABLE = _np.asarray([2.0 ** i for i in range(-_EMAX, _EMAX + 1)])
 
 
 def _split_int8(X, n_slices, axis):
     """Row-/column-scale X to [1/4, 1/2) and peel n_slices 7-bit mantissa
-    chunks. Returns (chunks int8 (n_slices, m, k), exponents 2^e (m, 1) or
-    (1, k) as f64)."""
+    chunks. Returns (chunks int8 (n_slices, m, k), scale halves (s1, s2)
+    with s1·s2 = 2^e, each (m, 1) or (1, k) f64)."""
     absmax = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
     # floor(log2)+2 puts |X̂| in [1/4, 1/2), so every peeled chunk satisfies
     # |q| ≤ 64 and fits int8 (with +1 the first chunk of a near-power-of-2
-    # maximum rounds to 128 and WRAPS). ldexp keeps the scale an exact power
-    # of two — exp2 may be rewritten as exp(x·ln2) and come out an ulp off,
-    # which would silently cost the split its exactness.
+    # maximum rounds to 128 and WRAPS).
     e = jnp.where(absmax > 0.0, jnp.floor(jnp.log2(absmax)) + 2.0, 0.0)
     # exact 2^e via a host-built table: exp2 may be rewritten exp(x·ln2)
     # (observed an ulp off, e.g. 7.999999999999998), and ldexp bitcasts
     # through s64, which this TPU backend's x64-rewrite pass rejects. A
-    # gather from exact python-float constants has neither problem.
-    idx = jnp.clip(e.astype(jnp.int32) + _EMAX, 0, 2 * _EMAX)
-    scale = jnp.take(jnp.asarray(_POW2_TABLE, X.dtype), idx)
-    r = X / scale  # |r| < 1/2; exact (power-of-2 divisor)
+    # gather from exact python-float constants has neither problem. The
+    # scale is applied in TWO power-of-2 halves so e up to 1025 (absmax near
+    # f64 max, where 2^e itself would overflow) still divides exactly —
+    # a single clipped lookup was measured to silently wrap the first int8
+    # chunk at absmax ≥ 2^1021 (7.8e-3 relative error).
+    e1 = jnp.floor(e / 2.0)
+    table = jnp.asarray(_POW2_TABLE, X.dtype)
+    s1 = jnp.take(table, e1.astype(jnp.int32) + _EMAX)
+    s2 = jnp.take(table, (e - e1).astype(jnp.int32) + _EMAX)
+    # |r| < 1/2, exact (power-of-2 divisors). The barrier is load-bearing:
+    # under --xla_allow_excess_precision XLA fuses the divide chain into
+    # X·1/(s1·s2), and 1/(s1·s2) over/underflows exactly in the extreme-
+    # exponent cases the two-half scaling exists for (observed: all-zero
+    # output at absmax = 2^1022 under jit, correct eagerly).
+    r = jax.lax.optimization_barrier(X / s1) / s2
     chunks = []
     for _ in range(n_slices):
         r = r * (2.0 ** _BITS)
         q = jnp.round(r)  # |q| ≤ 64 — int8-safe
         chunks.append(q.astype(jnp.int8))
         r = r - q  # |r| ≤ 1/2, exact (no bits lost below 2^-53·scale)
-    return jnp.stack(chunks), scale
+    return jnp.stack(chunks), (s1, s2)
 
 
 @partial(jax.jit, static_argnames=("n_slices",))
@@ -101,8 +109,8 @@ def ozaki_matmul(A, B, n_slices: int = OZAKI_SLICES):
     """
     if A.dtype != jnp.float64 or B.dtype != jnp.float64:
         raise TypeError("ozaki_matmul is the f64 path; cast inputs to f64")
-    Ac, sA = _split_int8(A, n_slices, axis=1)  # (S, m, k), (m, 1)
-    Bc, sB = _split_int8(B, n_slices, axis=0)  # (S, k, n), (1, n)
+    Ac, (sA1, sA2) = _split_int8(A, n_slices, axis=1)  # (S, m, k), 2×(m, 1)
+    Bc, (sB1, sB2) = _split_int8(B, n_slices, axis=0)  # (S, k, n), 2×(1, n)
     # group by s = t+u: one K-concatenated int8 GEMM per diagonal group
     # Σ_{t+u=s} At@Bu = [A0 | ... | As] @ [Bs ; ... ; B0]
     m, k = A.shape
@@ -113,4 +121,7 @@ def ozaki_matmul(A, B, n_slices: int = OZAKI_SLICES):
         Bcat = Bc[s::-1].reshape((s + 1) * k, n)
         P = jnp.matmul(Acat, Bcat, preferred_element_type=jnp.int32)
         out = out + P.astype(jnp.float64) * (2.0 ** (-_BITS * (s + 2)))
-    return out * sA * sB
+    # scale halves applied interleaved so intermediates track ~sqrt of the
+    # total rescaling (a single sA·sB product could itself overflow); the
+    # barrier again stops XLA regrouping the chain into that product
+    return jax.lax.optimization_barrier(out * sA1 * sB1) * sA2 * sB2

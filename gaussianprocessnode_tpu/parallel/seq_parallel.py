@@ -27,7 +27,6 @@ round-trips); numerically it matches the single-device Jacobi smoother up to
 f64 sum reordering (tests/test_seq_parallel.py).
 """
 
-import math
 from functools import partial
 
 import jax
@@ -35,33 +34,25 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import JITTER_KUU_SSM
-from ..dists import (
-    MvGaussian,
-    MvGaussianNat,
-    WishartFast,
-    mv_gaussian_entropy,
-    wishart_entropy,
-    wishart_mean,
-    wishart_mean_logdet,
-    _mv_gammaln,
+from ..dists import MvGaussianNat
+from ..infer.chain_smoother import (
+    GPSSMState,
+    _qv_stats,
+    chain_fe_terms,
+    chain_qv_qw_updates,
 )
-from ..infer.batch_vmp import prior_energy_mvn
-from ..infer.chain_smoother import GPSSMState, _qv_stats
-from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
+from ..nodes.multisgp import _split_blocks
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
 from ..ops.linalg import (
     chol_lower,
     chol_solve,
     cholinv,
-    logdet_from_chol,
     sum_blocks_weighted,
     sym,
 )
 
 __all__ = ["gpssm_vmp_sp", "shard_chain_data", "gather_sp_state"]
-
-_LOG2PI = math.log(2.0 * math.pi)
 
 
 def shard_chain_data(mesh: Mesh, ys, axis: str = "sp"):
@@ -209,40 +200,14 @@ def gpssm_vmp_sp(
             sdV0 = (W_mean @ x1_mean) @ mu_blocks
             new_x0_m, new_x0_V = refine(x0_base_mean, x0_base_cov, sdV0)
 
-            # ---- 2. q(v): psum'd natural-parameter sums over t ------------
+            # ---- 2./3. q(v) + q(W): the shared global-update core, with the
+            # data-sums psum'd over the mesh axis ----------------------------
             in_means, in_covs = pred_arrays(new_x0_m, new_x0_V, new_means, new_covs)
-            psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
-                kernel, theta, Xu, sr, in_means, in_covs
+            xi_v, prec_v, W_df, W_rate = chain_qv_qw_updates(
+                kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv, prior_W_df,
+                T, in_means, in_covs, new_means, new_covs, W_mean, dt,
+                reduce=psum_,
             )
-            sum_psi2 = psum_(
-                psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T_loc,), dt))
-            )
-            yW = new_means @ W_mean.T  # (T_loc, D): outputs of local nodes
-            xi_v = prior_v.xi + psum_(
-                jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1)
-            )
-            prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
-            mu_v, cov_v = _qv_stats(xi_v, prec_v)
-            Rv = cov_v + jnp.outer(mu_v, mu_v)
-            mu_blocks = _split_blocks(mu_v, M, D)
-
-            # ---- 3. q(W): psum'd I1/I2 sums --------------------------------
-            KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
-            tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
-            I1_sum = psum_(jnp.sum(psi0_in - tr_t)) * jnp.eye(D, dtype=dt)
-            E_t = (mu_blocks @ psi1_in).T  # (T_loc, D)
-            Ry_sum = psum_(
-                jnp.einsum("td,te->de", new_means, new_means)
-                + jnp.sum(new_covs, 0)
-            )
-            cross = psum_(jnp.einsum("td,te->de", new_means, E_t))
-            Rv4 = Rv.reshape(D, M, D, M)
-            psi4_sum = psum_(
-                jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq)
-            )
-            I2_sum = Ry_sum - cross - cross.T + psi4_sum
-            W_df = prior_W_df + T
-            W_rate = sym(S0_inv + I1_sum + I2_sum)
 
             return (new_x0_m, new_x0_V, new_means, new_covs,
                     xi_v, prec_v, W_df, W_rate), None
@@ -285,51 +250,16 @@ def gpssm_vmp_sp(
         state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
         x0_m, x0_V, means_loc, covs_loc, xi_v, prec_v, W_df, W_rate = state
 
-        # ---- free energy: psum of per-t terms + replicated prior terms ----
+        # ---- free energy: the shared FE core, data-sums psum'd ------------
         fe = jnp.asarray(0.0, dt)
         if compute_fe:
-            mu_v, cov_v = _qv_stats(xi_v, prec_v)
-            qW = WishartFast(W_df, W_rate)
-            W_mean = wishart_mean(qW)
-            E_logdet_W = wishart_mean_logdet(qW)
-            args = MultiSGPArgs(theta, Xu, Kuu_inv)
             in_means, in_covs = pred_arrays(x0_m, x0_V, means_loc, covs_loc)
-
-            def node_energy(m_out, V_out, m_in, V_in):
-                return average_energy(
-                    kernel, sr, args, m_out, V_out, MvGaussian(m_in, V_in),
-                    mu_v, cov_v, W_mean, E_logdet_W,
-                )
-
-            U_nodes = psum_(jnp.sum(jax.vmap(node_energy)(
-                means_loc, covs_loc, in_means, in_covs
-            )))
-            Lp = chol_lower(sym(Pobs))
-            d_res = ys_loc - means_loc
-            U_obs = psum_(0.5 * (
-                T_loc * (D * _LOG2PI + logdet_from_chol(Lp))
-                + jnp.einsum("td,de,te->", d_res, P_inv, d_res)
-                + jnp.einsum("de,ted->", P_inv, covs_loc)
-            ))
-            H_x = psum_(jnp.sum(jax.vmap(
-                lambda m, V: mv_gaussian_entropy(MvGaussian(m, V))
-            )(means_loc, covs_loc))) + mv_gaussian_entropy(MvGaussian(x0_m, x0_V))
-            # replicated prior terms (identical on every shard; added once)
-            U_x0 = prior_energy_mvn(x0_m, x0_V, prior_x0_mean, prior_x0_cov)
-            mu_p, cov_p = _qv_stats(prior_v.xi, prior_v.prec)
-            U_v = prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
-            nu0 = jnp.asarray(prior_W_df, dt)
-            ld_S0 = logdet_from_chol(chol_lower(sym(prior_W_scale)))
-            U_W = -(
-                (nu0 - D - 1.0) / 2.0 * E_logdet_W
-                - 0.5 * jnp.sum(S0_inv * W_mean.T)
-                - nu0 * D / 2.0 * jnp.log(2.0)
-                - nu0 / 2.0 * ld_S0
-                - _mv_gammaln(nu0 / 2.0, D)
+            fe = chain_fe_terms(
+                kernel, theta, Xu, Kuu_inv, ys_loc, Pobs, prior_x0_mean,
+                prior_x0_cov, prior_v, prior_W_df, prior_W_scale,
+                x0_m, x0_V, means_loc, covs_loc, in_means, in_covs,
+                xi_v, prec_v, W_df, W_rate, sr, reduce=psum_,
             )
-            H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
-            H_W = wishart_entropy(qW)
-            fe = (U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W)
 
         return x0_m, x0_V, means_loc, covs_loc, xi_v, prec_v, W_df, W_rate, fe
 

@@ -78,6 +78,22 @@ def test_fewer_slices_degrade_gracefully():
     assert e6 < e4
 
 
+def test_near_overflow_magnitudes():
+    """absmax near the f64 exponent ceiling: 2^e itself would overflow a
+    single lookup (review repro: full((2,8), 2**1022) @ eye came back 7.8e-3
+    off after the clipped table silently wrapped the first int8 chunk); the
+    two-half scaling must keep such rows exact."""
+    A = np.full((2, 8), 2.0 ** 1022)
+    A[1, 3] = -(2.0 ** 1021)
+    B = np.eye(8)
+    C = np.asarray(ozaki_matmul(jnp.asarray(A), jnp.asarray(B)))
+    np.testing.assert_array_equal(C, A)
+    # tiny-magnitude (subnormal-adjacent) rows stay exact too
+    A2 = np.full((2, 8), 2.0 ** -1021)
+    C2 = np.asarray(ozaki_matmul(jnp.asarray(A2), jnp.asarray(B)))
+    np.testing.assert_array_equal(C2, A2)
+
+
 def test_rejects_f32():
     with pytest.raises(TypeError):
         ozaki_matmul(jnp.zeros((4, 4), jnp.float32), jnp.zeros((4, 4), jnp.float32))
