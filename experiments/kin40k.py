@@ -11,11 +11,11 @@ Two trainers (gaussianprocessnode_tpu/infer/minibatch.py); on one TPU chip:
 - ``--faithful``: per-batch schedule exactly as the reference —
   SMSE 0.08182 @ 500 epochs (= the exact-arithmetic oracle's 0.08181) in
   ~470 s;
-- default fast path (ONE grand q(v) statistics refresh per epoch — the
-  identical order-free fixed point): SMSE 0.0799 @ 500 epochs in ~26 s
-  warm / ~36 s with a cold compile — beats the reference's accuracy at
-  ~486× its wall-clock. (Per-epoch refresh also converges slightly
-  BETTER than 4 refreshes/epoch, 0.0799 vs 0.0816: the mid-epoch
+- default fast path (ONE grand SPECTRUM-SCALED q(v) statistics refresh per
+  epoch — the identical order-free fixed point): SMSE 0.0798 @ 500 epochs
+  in ~20.2 s warm (622× the reference; +6.8 s cold compile from the
+  committed AOT executables, BENCH r3). (Per-epoch refresh also converges
+  slightly BETTER than 4 refreshes/epoch, 0.0798 vs 0.0816: the mid-epoch
   quarter-statistics inject feedback noise into the w-weighted θ steps.)
 """
 

@@ -8,10 +8,12 @@ batch shape — the form that matters for production: one MXU Gram + one
 mat-vec per request batch, no per-request host work, state recovered from a
 trainer's natural parameters exactly once at build time.
 
-Measured on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32): 24.8M
-predictions/second at batch 30,000 (0.57M at batch 1,000 — small batches
-are dispatch-bound); the reference's golden kin40k posterior served
-through the handle reproduces its recorded SMSE to 4e-6 in f32.
+Measured on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32), timed by
+host materialization (DEVIATIONS #6a): 13–23M predictions/second across
+trials at batch 30,000 (median ≈18M; small batches are dispatch-bound —
+the round-2 24.8M figure used block_until_ready, which can return early on
+this tunnel); the reference's golden kin40k posterior served through the
+handle reproduces its recorded SMSE to 4e-6 in f32.
 """
 
 from dataclasses import dataclass
