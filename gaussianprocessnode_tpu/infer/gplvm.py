@@ -289,3 +289,86 @@ def fit_gplvm_grad(
         epoch, (theta0, state0), None, length=epochs
     )
     return theta, state, fe_trace
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_iters", "laplace_steps"))
+def gplvm_embed(
+    kernel,
+    theta,
+    Xu,
+    Y_new,  # (N*, D_out) new observations to embed
+    state: GPLVMState,  # trained state (q(v) frozen)
+    x_prior_means,  # (N*, Din) per-point prior means (the PCA projection,
+    #                 exactly as the training latents' priors)
+    x_prior_cov_scale: float = 100.0,
+    W_val: float = 100.0,
+    n_iters: int = 3,
+    laplace_steps: int = 20,
+    x_start=None,  # (N*, Din) first Laplace start; default = the prior means
+):
+    """Out-of-sample GPLVM embedding: q(x*) for NEW observations under the
+    TRAINED model — the mean-field x-update of :func:`gplvm_vmp` (Laplace
+    in-message × MvN prior, MultiSGPnode.jl:210-236) iterated with the
+    trained q(v) FROZEN. The reference only ever infers latents for its
+    training set (GPLVM.ipynb cell 22); this is the natural serving surface
+    of the model family — what "embed this new sample" means for a GPLVM
+    user switching over.
+
+    ``x_prior_means`` plays the role the PCA projections play for the
+    training latents (per-point MvN prior centers); ``x_start`` seeds the
+    first L-BFGS — the Laplace objective is multimodal (GPLVM latent
+    symmetries), so the start selects the mode, exactly as the training
+    trajectory's warm starts do. ``n_iters`` polishes the linearization
+    point by restarting L-BFGS from the previous iteration's posterior
+    mean.
+
+    Returns (means (N*, Din), covs (N*, Din, Din)).
+    """
+    Din = x_prior_means.shape[1]
+    M = Xu.shape[0]
+    D = Y_new.shape[1]
+    dt = Y_new.dtype
+
+    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
+    Kuu_inv = cholinv(Kuu)
+    W = W_val * jnp.eye(D, dtype=dt)
+    tr_W = jnp.trace(W)
+
+    # frozen v-statistics of the trained posterior
+    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
+    Rv = cov_v + jnp.outer(mu_v, mu_v)
+    from ..ops.linalg import sum_blocks_weighted
+
+    sumRv_W = sum_blocks_weighted(Rv, W, D, M)
+    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+    mu_blocks = _split_blocks(mu_v, M, D)
+
+    x_prior_prec = jnp.eye(Din, dtype=dt) / x_prior_cov_scale
+    x_prior_xi = x_prior_means / x_prior_cov_scale  # (N*, Din)
+    if x_start is None:
+        x_start = x_prior_means
+
+    def update_x(y_i, m_init, xi_p):
+        sumdiagV = (W @ y_i) @ mu_blocks
+
+        def neg_log(x):
+            k = psiops.psi1_exact(kernel, theta, Xu, x)
+            psi0 = kernel.kxx(theta, x)
+            return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
+
+        from .training import lbfgs_solve
+
+        m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
+        W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
+        prec = x_prior_prec + W_z
+        cov = cholinv(sym(prec))
+        mean = cov @ (xi_p + W_z @ m_z)
+        return mean, sym(cov)
+
+    # polish iterations carry only the means (the L-BFGS restart point);
+    # the final pass also materializes the covariances
+    means, _ = jax.lax.scan(
+        lambda m, _: (jax.vmap(update_x)(Y_new, m, x_prior_xi)[0], None),
+        x_start, None, length=n_iters - 1,
+    )
+    return jax.vmap(update_x)(Y_new, means, x_prior_xi)

@@ -26,7 +26,8 @@ from .dists import GammaShapeRate, MvGaussianNat, gamma_mean
 from .infer.batch_vmp import predict_out, predict_probit
 from .ops.linalg import ir_solve, spd_inverse_ns, sym
 
-__all__ = ["SGPRegressor", "SGPClassifier", "throughput", "shard_requests"]
+__all__ = ["SGPRegressor", "SGPClassifier", "GPSSMFilter", "throughput",
+           "shard_requests"]
 
 
 def shard_requests(mesh, X_test, axis: str = "dp"):
@@ -108,6 +109,35 @@ class SGPClassifier:
 
     def __call__(self, X_test, threshold: float = 0.5):
         return (self.probabilities(X_test) >= threshold).astype(self.Xu.dtype)
+
+
+@dataclass(frozen=True)
+class GPSSMFilter:
+    """Frozen serving handle for a trained GPSSM: streaming 1-step-ahead
+    state prediction (PredictState = MultiSGP :out rule from the previous
+    marginal; UpdateState = Gaussian product with the observation message —
+    Pendulum_Wishart_2d.ipynb cells 3, 36, via
+    :func:`~.infer.chain_smoother.one_step_ahead`). q(v), q(W), θ and the
+    filter's starting marginal are frozen from the smoother's state; each
+    call filters a full observation window on-device."""
+
+    kernel: object
+    theta: jax.Array
+    Xu: jax.Array
+    state: object  # GPSSMState (trained; last marginal = filter start)
+    P: jax.Array  # observation covariance
+
+    @classmethod
+    def from_state(cls, kernel, theta, Xu, state, P):
+        return cls(kernel, theta, Xu, state, jnp.asarray(P))
+
+    def __call__(self, ys):
+        from .infer.chain_smoother import one_step_ahead
+
+        return one_step_ahead(
+            self.kernel, self.theta, self.Xu, self.state,
+            jnp.asarray(ys, self.P.dtype), self.P,
+        )
 
 
 def throughput(predictor, X_test, iters: int = 20):
