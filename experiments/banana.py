@@ -43,7 +43,7 @@ from gaussianprocessnode_tpu.infer.minibatch import (
 )
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.utils.datasets import banana
-from gaussianprocessnode_tpu.utils.profiling import block_via_host
+from gaussianprocessnode_tpu.utils.driver import chunked_run
 from gaussianprocessnode_tpu.utils.metrics import error_rate, num_error
 
 
@@ -86,47 +86,27 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
         fast = "--faithful" not in sys.argv
     chunk = 100
 
+    trainer = fit_banana_fast if fast else fit_banana
+
     def train():
         # concrete initial carry → every chunk (incl. the first) shares ONE
-        # compiled executable (no separate resume_state=None signature)
+        # compiled executable (no separate resume_state=None signature).
+        # The fast trainer is the epoch-granular statistics refresh
+        # (VERDICT item 8): one grand f64 NS per epoch, 20 f32 θ-steps on
+        # frozen stats — same fixed point as the per-batch schedule.
         state = (init_banana_state(kernel, theta0, Xu, prior_v, prior_w)
                  if fast else None)
-        done = 0
-        while done < epochs:
-            e = min(chunk, epochs - done)
-            for attempt in range(3):
-                try:
-                    if fast:
-                        # epoch-granular statistics refresh (VERDICT item 8):
-                        # one grand f64 NS per epoch, 20 f32 θ-steps on frozen
-                        # stats — same fixed point as the per-batch schedule
-                        theta, qv_nat, qw, state_new = fit_banana_fast(
-                            kernel, theta0, Xu, Xb, yb, prior_v,
-                            prior_w, e, resume_state=state
-                        )
-                    else:
-                        theta, qv_nat, qw, state_new = fit_banana(
-                            kernel, theta0, Xu, Xb, yb, prior_v, prior_w, e,
-                            resume_state=state
-                        )
-                    # host materialization instead of block_until_ready: on
-                    # this tunneled backend the completion signal itself has
-                    # been observed firing early (2.9 s reported for a 27 s
-                    # run) — copying a value to the host cannot
-                    block_via_host(theta)
-                    break
-                except jax.errors.JaxRuntimeError:
-                    # transient tunnel faults only; real bugs propagate
-                    if attempt == 2:
-                        raise
-                    time.sleep(5)
-            state = state_new
-            done += e
+        theta, qv_nat, qw, _ = chunked_run(
+            lambda e, st: trainer(kernel, theta0, Xu, Xb, yb, prior_v,
+                                  prior_w, e, resume_state=st),
+            epochs, chunk, state,
+        )
         return theta, qv_nat, qw
 
     t0 = time.time()
     theta, qv_nat, qw = train()
     train_s = time.time() - t0
+    first_s = train_s
     if warm_timing or "--warm" in sys.argv:
         # re-run against the cached executables: pure device time. The
         # first pass pays compile/cache-load (the historically reported
@@ -156,7 +136,7 @@ def run(epochs: int = 500, m_inducing: int = 500, batch_size: int = 200,
         print(f"train wall: {train_s:.2f}s for {epochs} epochs (reference: 2965.76 s)")
         print(f"θ (softplus) = {np.asarray(softplus(theta))}  w̄ = {float(gamma_mean(qw)):.4f}")
     return {"errors": errs, "error_rate": rate, "seconds": train_s,
-            "theta": np.asarray(theta)}
+            "first_seconds": first_s, "theta": np.asarray(theta)}
 
 
 if __name__ == "__main__":

@@ -56,6 +56,7 @@ from gaussianprocessnode_tpu.infer.minibatch import (
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
 from gaussianprocessnode_tpu.ops.linalg import ir_solve, spd_inverse_ns, sym
 from gaussianprocessnode_tpu.utils.datasets import kin40k
+from gaussianprocessnode_tpu.utils.driver import chunked_run
 from gaussianprocessnode_tpu.utils.metrics import smse
 from gaussianprocessnode_tpu.utils.profiling import block_via_host
 
@@ -101,39 +102,12 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
     prior_v = MvGaussianNat(jnp.zeros(M, dtype), jnp.eye(M, dtype=dtype) / 50.0)
     w_val = 1e4
 
-    # transient device-tunnel faults (RPC deadline, transfer hiccups) raise
-    # XlaRuntimeError / JaxRuntimeError; anything else (shape/numerics bugs)
-    # must propagate immediately instead of being retried away
-    _transient_errors = (jax.errors.JaxRuntimeError,)
-
+    # chunked + retried through the shared driver (utils/driver.chunked_run):
+    # long single executions hit the tunnel RPC deadline and the link faults
+    # transiently; the carry state lives host-side so a chunk re-runs, and a
+    # concrete initial carry makes every chunk share ONE compiled executable
     def _chunked(step_fn, chunk, state):
-        # chunked + retried: long single executions hit the tunnel RPC
-        # deadline, and the device link occasionally faults transiently;
-        # the carry state lives host-side so a chunk can simply be re-run.
-        # `state` is always a concrete carry (built host-side), so every
-        # chunk — including the first — shares ONE compiled executable.
-        done = 0
-        out = None
-        while done < epochs:
-            e = min(chunk, epochs - done)
-            for attempt in range(3):
-                try:
-                    out = step_fn(e, state)
-                    # host materialization instead of block_until_ready: on
-                    # a degraded tunnel the backend's completion signal has
-                    # been observed firing while buffers are still
-                    # computing (even when blocking on every leaf); copying
-                    # a value to the host cannot return early, and θ is an
-                    # output of the same executable as everything else
-                    block_via_host(out[0])
-                    break
-                except _transient_errors:
-                    if attempt == 2:
-                        raise
-                    time.sleep(5)
-            state = out[-1]
-            done += e
-        return out
+        return chunked_run(step_fn, epochs, chunk, state)
 
     def train():
         if faithful:

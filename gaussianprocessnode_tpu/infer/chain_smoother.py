@@ -319,35 +319,65 @@ def gpssm_free_energy(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def one_step_ahead(kernel, theta, Xu, state: GPSSMState, ys_test, P):
-    """Sequential predict/update loop:
-    PredictState = MultiSGP :out rule from the previous marginal;
-    UpdateState  = product with the MvN observation message."""
-    T_test, D = ys_test.shape
-    M = Xu.shape[0]
-    dt = ys_test.dtype
-    sr = quad.SphericalRadial()
-    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
-    mu_blocks = _split_blocks(mu_v, M, D)
+class GPSSMFilterFrozen(NamedTuple):
+    """The 1-step-ahead filter's per-window-constant quantities, recovered
+    from a trained GPSSMState exactly ONCE (the q(v) solve is a (M·D)²
+    cholinv — per-call recomputation would dominate small windows)."""
+
+    mu_blocks: jax.Array  # (D, M) posterior mean of v, split per output
+    pred_cov: jax.Array  # (D, D) = W̄⁻¹, the :out rule's predictive cov
+    pred_prec: jax.Array  # (D, D) its inverse (the update's natural form)
+    P_inv: jax.Array  # (D, D) observation precision
+
+
+def filter_frozen(state: GPSSMState, P) -> GPSSMFilterFrozen:
+    """Freeze a trained smoother state into the filter's constants."""
+    D = P.shape[0]
+    mu_v, _ = _qv_stats(state.xi_v, state.prec_v)
+    M = mu_v.shape[0] // D
     qW = WishartFast(state.W_df, state.W_rate)
     W_mean = wishart_mean(qW)
     W_mean_inv = cholinv(sym(W_mean))
-    P_inv = cholinv(sym(P))
+    return GPSSMFilterFrozen(
+        _split_blocks(mu_v, M, D), W_mean_inv,
+        cholinv(sym(W_mean_inv)), cholinv(sym(P)),
+    )
 
-    def step(carry, y):
-        m_prev, V_prev = carry
+
+@partial(jax.jit, static_argnames=("kernel",))
+def filter_stream(kernel, theta, Xu, frozen: GPSSMFilterFrozen, ys, carry):
+    """One filtering window, CHAINABLE: predict/update each observation from
+    ``carry`` = the previous filtered marginal (mean, cov), returning the
+    final carry so consecutive windows continue exactly where the last ended
+    (filter_stream(ys[:k]) then filter_stream(ys[k:], carry) ≡
+    filter_stream(ys)). Returns (pred_means, pred_covs, carry)."""
+    sr = quad.SphericalRadial()
+
+    def step(c, y):
+        m_prev, V_prev = c
+        # PredictState = MultiSGP :out rule from the previous marginal
         _, psi1, _ = psiops.psi_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
-        pred_mean = mu_blocks @ psi1
-        pred_cov = W_mean_inv
-        # update: product with N(y, P)
-        prec = cholinv(sym(pred_cov)) + P_inv
+        pred_mean = frozen.mu_blocks @ psi1
+        # UpdateState = product with the MvN observation message N(y, P)
+        prec = frozen.pred_prec + frozen.P_inv
         cov = cholinv(sym(prec))
-        mean = cov @ (cholinv(sym(pred_cov)) @ pred_mean + P_inv @ y)
-        return (mean, cov), (pred_mean, pred_cov)
+        mean = cov @ (frozen.pred_prec @ pred_mean + frozen.P_inv @ y)
+        return (mean, cov), (pred_mean, frozen.pred_cov)
 
-    (_, _), (pred_means, pred_covs) = jax.lax.scan(
-        step, (state.x_means[-1], state.x_covs[-1]), ys_test
+    carry, (pred_means, pred_covs) = jax.lax.scan(step, carry, ys)
+    return pred_means, pred_covs, carry
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def one_step_ahead(kernel, theta, Xu, state: GPSSMState, ys_test, P):
+    """Sequential predict/update loop over one test window, starting from
+    the smoother's last marginal (Pendulum cells 3, 36). Thin view of
+    :func:`filter_stream`; use that (or serve.GPSSMFilter) to chain
+    windows."""
+    frozen = filter_frozen(state, P)
+    pred_means, pred_covs, _ = filter_stream(
+        kernel, theta, Xu, frozen, ys_test,
+        (state.x_means[-1], state.x_covs[-1]),
     )
     return pred_means, pred_covs
 

@@ -51,6 +51,50 @@ def _qv_stats(xi, prec):
     return q.mean, q.cov
 
 
+def make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v, W, x_prior_prec,
+                  laplace_steps):
+    """The GPLVM latent update at FROZEN v-statistics — the one shared
+    x-update map of :func:`gplvm_vmp` (per-sweep, fresh q(v)) and
+    :func:`gplvm_embed` (trained q(v)): Laplace in-message through the
+    MultiSGP node (L-BFGS minimizer + Hessian precision,
+    MultiSGPnode.jl:210-236) × the per-point MvN prior, as natural params.
+
+    Returns ``update_x(y_i, m_init, xi_p) -> (mean, cov)`` (vmappable);
+    ``m_init`` seeds the L-BFGS (the objective is multimodal — GPLVM latent
+    symmetries — so the start selects the mode), ``xi_p`` is the prior's
+    natural mean."""
+    M = Xu.shape[0]
+    D = W.shape[0]
+    tr_W = jnp.trace(W)
+    mu_v, cov_v = _qv_stats(xi_v, prec_v)
+    Rv = cov_v + jnp.outer(mu_v, mu_v)
+    from ..ops.linalg import sum_blocks_weighted
+
+    sumRv_W = sum_blocks_weighted(Rv, W, D, M)
+    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+    mu_blocks = _split_blocks(mu_v, M, D)
+
+    def update_x(y_i, m_init, xi_p):
+        sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
+
+        def neg_log(x):
+            k = psiops.psi1_exact(kernel, theta, Xu, x)
+            psi0 = kernel.kxx(theta, x)
+            return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
+
+        from .training import lbfgs_solve
+
+        m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
+        W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
+        # product with the prior (natural params)
+        prec = x_prior_prec + W_z
+        cov = cholinv(sym(prec))
+        mean = cov @ (xi_p + W_z @ m_z)
+        return mean, sym(cov)
+
+    return update_x
+
+
 def laplace_precision_guard(W_z: jax.Array) -> jax.Array:
     """Branchless PSD guard for a Laplace-message precision: returns the
     symmetrized Hessian if it is PD and finite, else zeros (a flat message —
@@ -172,35 +216,11 @@ def gplvm_vmp(
         xi_v = prior_xi_v + jnp.einsum("nd,mn->dm", yW, psi1_b).reshape(-1)
         prec_v = prior_prec_v + jnp.kron(W, sum_psi2)
 
-        mu_v, cov_v = _qv_stats(xi_v, prec_v)
-        Rv = cov_v + jnp.outer(mu_v, mu_v)
-        from ..ops.linalg import sum_blocks_weighted
-
-        sumRv_W = sum_blocks_weighted(Rv, W, D, M)
-        A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
-        mu_blocks = _split_blocks(mu_v, M, D)
-
-        # ---- 2. q(x_i): Laplace message × prior, vmapped --------------------
-        def update_x(y_i, m_init, xi_p):
-            sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
-
-            def neg_log(x):
-                k = psiops.psi1_exact(kernel, theta, Xu, x)
-                psi0 = kernel.kxx(theta, x)
-                return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
-
-            # L-BFGS from the current marginal mean (the reference's
-            # RequireMarginalFunctionalDependencies start point)
-            from .training import lbfgs_solve
-
-            m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
-            W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
-            # product with the prior (natural params)
-            prec = x_prior_prec + W_z
-            cov = cholinv(sym(prec))
-            mean = cov @ (xi_p + W_z @ m_z)
-            return mean, sym(cov)
-
+        # ---- 2. q(x_i): the shared Laplace-×-prior update, vmapped ---------
+        # (L-BFGS starts at the current marginal mean — the reference's
+        # RequireMarginalFunctionalDependencies start point)
+        update_x = make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v,
+                                 W, x_prior_prec, laplace_steps)
         new_means, new_covs = jax.vmap(update_x)(Y, state.x_means, x_prior_xi)
         return GPLVMState(new_means, new_covs, xi_v, prec_v), None
 
@@ -324,46 +344,26 @@ def gplvm_embed(
 
     Returns (means (N*, Din), covs (N*, Din, Din)).
     """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be ≥ 1 (got {n_iters}): the final "
+                         "pass IS the embedding; n_iters-1 are polish "
+                         "iterations")
     Din = x_prior_means.shape[1]
-    M = Xu.shape[0]
     D = Y_new.shape[1]
     dt = Y_new.dtype
 
     Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
     Kuu_inv = cholinv(Kuu)
     W = W_val * jnp.eye(D, dtype=dt)
-    tr_W = jnp.trace(W)
-
-    # frozen v-statistics of the trained posterior
-    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
-    Rv = cov_v + jnp.outer(mu_v, mu_v)
-    from ..ops.linalg import sum_blocks_weighted
-
-    sumRv_W = sum_blocks_weighted(Rv, W, D, M)
-    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
-    mu_blocks = _split_blocks(mu_v, M, D)
-
     x_prior_prec = jnp.eye(Din, dtype=dt) / x_prior_cov_scale
     x_prior_xi = x_prior_means / x_prior_cov_scale  # (N*, Din)
     if x_start is None:
         x_start = x_prior_means
 
-    def update_x(y_i, m_init, xi_p):
-        sumdiagV = (W @ y_i) @ mu_blocks
-
-        def neg_log(x):
-            k = psiops.psi1_exact(kernel, theta, Xu, x)
-            psi0 = kernel.kxx(theta, x)
-            return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
-
-        from .training import lbfgs_solve
-
-        m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
-        W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
-        prec = x_prior_prec + W_z
-        cov = cholinv(sym(prec))
-        mean = cov @ (xi_p + W_z @ m_z)
-        return mean, sym(cov)
+    # the SAME x-update map as gplvm_vmp's sweeps, at the trained (frozen)
+    # v-statistics — what makes "trained latents are fixed points" structural
+    update_x = make_x_update(kernel, theta, Xu, Kuu_inv, state.xi_v,
+                             state.prec_v, W, x_prior_prec, laplace_steps)
 
     # polish iterations carry only the means (the L-BFGS restart point);
     # the final pass also materializes the covariances

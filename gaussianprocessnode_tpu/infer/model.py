@@ -160,6 +160,17 @@ class GPSSM:
             self.kernel, theta, self.Xu, state, ys_test, self.obs_cov
         )
 
+    def predictor(self, theta, state):
+        """Frozen STREAMING serving handle for the smoothed state (serve.py)
+        — same family convention as the SGP models' .predictor(). Unlike
+        :meth:`predict` (one window from the smoother's end), the handle
+        returns its carry so windows chain."""
+        from ..serve import GPSSMFilter
+
+        return GPSSMFilter.from_state(
+            self.kernel, theta, self.Xu, state, self.obs_cov
+        )
+
 
 @dataclass(frozen=True)
 class GPLVM:

@@ -113,31 +113,41 @@ class SGPClassifier:
 
 @dataclass(frozen=True)
 class GPSSMFilter:
-    """Frozen serving handle for a trained GPSSM: streaming 1-step-ahead
+    """Frozen STREAMING serving handle for a trained GPSSM: 1-step-ahead
     state prediction (PredictState = MultiSGP :out rule from the previous
-    marginal; UpdateState = Gaussian product with the observation message —
-    Pendulum_Wishart_2d.ipynb cells 3, 36, via
-    :func:`~.infer.chain_smoother.one_step_ahead`). q(v), q(W), θ and the
-    filter's starting marginal are frozen from the smoother's state; each
-    call filters a full observation window on-device."""
+    filtered marginal; UpdateState = Gaussian product with the observation
+    message — Pendulum_Wishart_2d.ipynb cells 3, 36). The expensive state
+    recovery (the (M·D)² q(v) cholinv, W̄ and its inverse) happens exactly
+    once at build time, matching the module contract; each call filters one
+    observation window on-device and RETURNS THE CARRY, so consecutive
+    windows chain exactly: handle(y[:k]) then handle(y[k:], carry) ≡
+    handle(y)."""
 
     kernel: object
     theta: jax.Array
     Xu: jax.Array
-    state: object  # GPSSMState (trained; last marginal = filter start)
-    P: jax.Array  # observation covariance
+    frozen: object  # chain_smoother.GPSSMFilterFrozen
+    start: tuple  # (mean, cov) — the trained smoother's last marginal
+    dtype: object
 
     @classmethod
     def from_state(cls, kernel, theta, Xu, state, P):
-        return cls(kernel, theta, Xu, state, jnp.asarray(P))
+        from .infer.chain_smoother import filter_frozen
 
-    def __call__(self, ys):
-        from .infer.chain_smoother import one_step_ahead
+        P = jnp.asarray(P)
+        return cls(kernel, theta, Xu, filter_frozen(state, P),
+                   (state.x_means[-1], state.x_covs[-1]), P.dtype)
 
-        return one_step_ahead(
-            self.kernel, self.theta, self.Xu, self.state,
-            jnp.asarray(ys, self.P.dtype), self.P,
-        )
+    def __call__(self, ys, carry=None):
+        """Filter one window. Returns (pred_means, pred_covs, carry); feed
+        the carry back to continue the stream (omit it to restart from the
+        trained smoother's last marginal)."""
+        from .infer.chain_smoother import filter_stream
+
+        if carry is None:
+            carry = self.start
+        return filter_stream(self.kernel, self.theta, self.Xu, self.frozen,
+                             jnp.asarray(ys, self.dtype), carry)
 
 
 def throughput(predictor, X_test, iters: int = 20):

@@ -27,7 +27,13 @@ KERNEL = Kernel("se", transform="softplus")
 
 
 class TestGPLVMEmbed:
+    _cache = None
+
     def _trained(self):
+        # the fixture is deterministic (seed 86, fixed θ); train once for
+        # both tests instead of twice
+        if TestGPLVMEmbed._cache is not None:
+            return TestGPLVMEmbed._cache
         Y_np, labels = oil_flow(n=160)
         mean_X = pca_2d(Y_np)
         n_tr = 120
@@ -37,7 +43,8 @@ class TestGPLVMEmbed:
         theta = jnp.asarray([1.0, 0.6, 0.5])
         state, _ = gplvm_vmp(KERNEL, theta, Xu, Y_tr,
                              jnp.asarray(mean_X[:n_tr]), n_iters=6)
-        return Y_np, labels, mean_X, n_tr, Xu, theta, state
+        TestGPLVMEmbed._cache = (Y_np, labels, mean_X, n_tr, Xu, theta, state)
+        return TestGPLVMEmbed._cache
 
     def test_trained_latents_are_fixed_points_of_the_embed_map(self):
         """Correctness oracle: embedding the TRAINING data with the trained
@@ -80,7 +87,7 @@ class TestGPLVMEmbed:
 
 
 class TestGPSSMFilter:
-    def test_handle_matches_direct_one_step_ahead(self):
+    def _trained(self):
         x_state, y_obs, Q, P, dt = pendulum()
         T = 60
         y_train = jnp.asarray(y_obs[:T])
@@ -93,9 +100,32 @@ class TestGPSSMFilter:
             KERNEL, theta, Xu, y_train, jnp.asarray(P), jnp.asarray([1.6, 0.0]),
             0.1 * jnp.eye(2), prior_v, 100.0, jnp.eye(2), n_iters=10,
         )
-        handle = GPSSMFilter.from_state(KERNEL, theta, Xu, state, jnp.asarray(P))
-        m_h, V_h = handle(y_test)
-        m_d, V_d = one_step_ahead(KERNEL, theta, Xu, state, y_test, jnp.asarray(P))
+        return theta, Xu, state, jnp.asarray(P), y_test
+
+    def test_handle_matches_direct_one_step_ahead(self):
+        theta, Xu, state, P, y_test = self._trained()
+        handle = GPSSMFilter.from_state(KERNEL, theta, Xu, state, P)
+        m_h, V_h, _ = handle(y_test)
+        m_d, V_d = one_step_ahead(KERNEL, theta, Xu, state, y_test, P)
         np.testing.assert_array_equal(np.asarray(m_h), np.asarray(m_d))
         np.testing.assert_array_equal(np.asarray(V_h), np.asarray(V_d))
         assert bool(jnp.all(jnp.isfinite(m_h)))
+
+    def test_streaming_windows_chain_exactly(self):
+        """handle(y[:k]) then handle(y[k:], carry) ≡ handle(y) — the
+        property that makes the handle genuinely streaming (a carry-less
+        restart would condition window 2 on the training set's end marginal
+        instead of the filtered one)."""
+        theta, Xu, state, P, y_test = self._trained()
+        handle = GPSSMFilter.from_state(KERNEL, theta, Xu, state, P)
+        m_all, V_all, _ = handle(y_test)
+        m1, V1, carry = handle(y_test[:17])
+        m2, V2, _ = handle(y_test[17:], carry)
+        np.testing.assert_array_equal(np.asarray(jnp.concatenate([m1, m2])),
+                                      np.asarray(m_all))
+        np.testing.assert_array_equal(np.asarray(jnp.concatenate([V1, V2])),
+                                      np.asarray(V_all))
+        # and a carry-LESS second window must differ (regression guard for
+        # the restart-from-training-end bug the streaming API exists to fix)
+        m2_restart, _, _ = handle(y_test[17:])
+        assert float(jnp.max(jnp.abs(m2_restart - m2))) > 1e-6
