@@ -10,6 +10,18 @@ before the first compile, so a fresh clone starts warm ("AOT persisted at
 install time"). Cache keys include the jax/jaxlib version and device kind,
 so stale artifacts are simply ignored by JAX (a key miss recompiles — never
 wrong, only slow).
+
+MAINTENANCE: re-harvest after editing any file on the benchmarked programs'
+trace path — observed empirically (r3): edits to experiments/kin40k.py that
+did not change the traced math still moved the jit_fit_kin40k_fast /
+jit_recover_and_predict keys on the TPU backend (a pure source-line shift
+does NOT move keys on CPU, so the sensitivity is backend-side; treat any
+re-trace as potentially key-moving). The refresh procedure is one cycle:
+``mv .jax_cache .jax_cache_keep && python bench.py`` (compiles + saves the
+fresh entries), copy the new ``jit_fit_kin40k_fast``/``jit_recover_and_
+predict``/``jit__lambda``/``jit_matmul`` entries here, delete the stale
+ones, and re-run ``rm -rf .jax_cache && python bench.py`` to confirm
+``compile_seconds`` ≈ 7.
 """
 
 import os
