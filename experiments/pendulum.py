@@ -20,7 +20,10 @@ D=2, T=300), so on the tunneled TPU the hyperopt program (LBFGS line
 searches inside a scanned epoch) is compile- and dispatch-bound — the XLA
 compile alone exceeds the tunnel's execution window. The epoch loop is
 chunked (``--tpu`` chunks at 25 epochs) so device runs stay under the RPC
-deadline if attempted.
+deadline if attempted — but a full ``--tpu`` hyperopt was attempted in
+round 3 and CRASHED the TPU worker mid-chunk ("TPU worker process crashed
+or restarted", kernel fault; the chip recovered), so the CPU default is
+load-bearing, not just faster-to-compile.
 """
 
 import os as _os
