@@ -9,10 +9,14 @@ mat-vec per request batch, no per-request host work, state recovered from a
 trainer's natural parameters exactly once at build time.
 
 Measured on one TPU v5e chip (kin40k shapes, M=600, 8-D, f32), timed by
-host materialization (DEVIATIONS #6a): 13–23M predictions/second across
-trials at batch 30,000 (median ≈18M; small batches are dispatch-bound —
-the round-2 24.8M figure used block_until_ready, which can return early on
-this tunnel); the reference's golden kin40k posterior served through the
+host materialization (DEVIATIONS #6a): 6–23M predictions/second at batch
+30,000 ACROSS SESSIONS — the predict executable is small, so per-call time
+is dispatch-latency-bound and varies with tunnel weather while the chip's
+compute rate stays constant (benchmarks/serving_throughput_r3.json records
+a 6.3M/s session whose in-program f64 rate matched the 13–23M sessions
+exactly). Small batches are fully dispatch-bound (~0.2–0.7M at 1,000). The
+round-2 24.8M figure used block_until_ready, which can return early on
+this tunnel. The reference's golden kin40k posterior served through the
 handle reproduces its recorded SMSE to 4e-6 in f32.
 """
 
