@@ -34,6 +34,7 @@ from ..dists import (
     gamma_mean_log,
     gaussian_entropy,
     mv_gaussian_entropy,
+    mv_nat_to_meancov,
 )
 from ..nodes import probit as probit_node
 from ..nodes import unisgp
@@ -61,12 +62,12 @@ class VMPResult(NamedTuple):
 
 
 def _qv_from_nat(nat: MvGaussianNat):
+    # the one natural-to-moments conversion (dists.mv_nat_to_meancov) + the
+    # Uv statistic; L is re-derived for callers that reuse the factor
+    q = mv_nat_to_meancov(nat)
     L = chol_lower(sym(nat.prec))
-    eye = jnp.eye(nat.prec.shape[0], dtype=nat.prec.dtype)
-    cov = sym(chol_solve(L, eye))
-    mean = chol_solve(L, nat.xi)
-    Uv = chol_upper(sym(cov + jnp.outer(mean, mean)))
-    return mean, cov, Uv, L
+    Uv = chol_upper(sym(q.cov + jnp.outer(q.mean, q.mean)))
+    return q.mean, q.cov, Uv, L
 
 
 def prior_energy_mvn(mu_q, cov_q, mu_p, cov_p):
@@ -117,7 +118,6 @@ def regression_vmp(
     Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU)
     KuuL = chol_lower(Kuu)
     kxx, Kux = psi_batch_exact(kernel, theta, Xu, X)
-    N = y.shape[0]
 
     a0, b0 = prior_w.shape, prior_w.rate
 
@@ -155,10 +155,9 @@ def regression_vmp(
             kernel, args, kxx, Kux, y, 0.0, mu_v, w_mean, E_logw
         )
         # prior on v: recover (μ_p, Σ_p) from natural parameterization
-        Lp = chol_lower(sym(prior_v.prec))
-        cov_p = chol_solve(Lp, jnp.eye(prior_v.prec.shape[0], dtype=y.dtype))
-        mu_p = chol_solve(Lp, prior_v.xi)
-        fe = node_e + prior_energy_mvn(mu_v, cov_v, mu_p, sym(cov_p)) - mv_gaussian_entropy(
+        qp = mv_nat_to_meancov(prior_v)
+        mu_p, cov_p = qp.mean, qp.cov
+        fe = node_e + prior_energy_mvn(mu_v, cov_v, mu_p, cov_p) - mv_gaussian_entropy(
             MvGaussian(mu_v, cov_v)
         )
         if w_fixed is None:
@@ -250,13 +249,12 @@ def classification_vmp(
             kernel, args, kxx, Kux, f_mean, f_var, mu_v, w_mean, E_logw
         )
         probit_e = probit_node.average_energy_batch(f_mean, f_var, y)
-        Lp = chol_lower(sym(prior_v.prec))
-        cov_p = chol_solve(Lp, jnp.eye(prior_v.prec.shape[0], dtype=Xu.dtype))
-        mu_p = chol_solve(Lp, prior_v.xi)
+        qp = mv_nat_to_meancov(prior_v)
+        mu_p, cov_p = qp.mean, qp.cov
         fe = (
             node_e
             + probit_e
-            + prior_energy_mvn(mu_v, cov_v, mu_p, sym(cov_p))
+            + prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
             + prior_energy_gamma(a0, b0, qw)
             - mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
             - gamma_entropy(qw)

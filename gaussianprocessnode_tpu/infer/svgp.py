@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import JITTER_KUU
-from ..ops.linalg import chol_lower, tri_solve_lower, tri_solve_upper
+from ..ops.linalg import chol_lower, solve_psd, tri_solve_lower, tri_solve_upper
 from ..ops.quadrature import gh_nodes
 
 __all__ = ["SVGPParams", "init_svgp", "svgp_predict", "fit_svgp"]
@@ -92,7 +92,11 @@ def _kl_whitened(params: SVGPParams, raw_tril: bool = False):
     """KL(q(u)‖p(u)) in whitened coordinates: ½(‖m̃‖² + ‖Ã‖²_F − M − 2·log|Ã|)."""
     A = _A_tril(params.A_raw, raw_tril)
     M = params.m_white.shape[0]
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(A)))
+    # |diag|: with raw_tril the unconstrained diagonal may go negative during
+    # optimization — AAᵀ is still PD and log|AAᵀ| = 2Σlog|A_ii|, but a plain
+    # log returns NaN for the VALUE (gradients were fine), silently breaking
+    # loss traces and value-based linesearches
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(A))))
     return 0.5 * (
         params.m_white @ params.m_white + jnp.sum(A * A) - M - logdet
     )
@@ -108,7 +112,7 @@ def _kl_centered(kernel, params: SVGPParams, Xu, jitter: float = JITTER_KUU,
     Lu = chol_lower(Kuu)
     LiA = tri_solve_lower(Lu, A)
     Lim = tri_solve_lower(Lu, params.m_white)
-    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(A)))
+    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(A))))  # see _kl_whitened
     logdet_K = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lu)))
     return 0.5 * (
         jnp.sum(LiA * LiA) + Lim @ Lim - M - logdet_S + logdet_K
@@ -237,13 +241,16 @@ def collapsed_opt_init(theta0, learning_rate: float = 0.05):
 
 
 def collapsed_predict(kernel, theta, Xu, X_test, X, y, noise, jitter: float = 1e-10):
-    """Predictive mean of the collapsed-optimal q(u) at X_test."""
+    """Predictive mean of the collapsed-optimal q(u) at X_test:
+    Kuu⁻¹μ_u = Kuu⁻¹·Kuu·S⁻¹(Kux y/σ²) = S⁻¹(Kux y/σ²) — the two Kuu ops
+    cancel algebraically, so neither is computed (the old form also used
+    jnp.linalg.solve, whose LU lowering has no f64 path on this TPU backend;
+    the SPD S gets a Cholesky solve like every other solve in the repo)."""
     Kuu = kernel.kuu(theta, Xu, jitter=jitter)
     Kux = kernel(theta, Xu, X)
     Kut = kernel(theta, Xu, X_test)
     S = Kuu + Kux @ Kux.T / noise
-    mu_u = Kuu @ jnp.linalg.solve(S, Kux @ y / noise)
-    return Kut.T @ jnp.linalg.solve(Kuu, mu_u)
+    return Kut.T @ solve_psd(S, Kux @ y / noise)
 
 
 @partial(jax.jit, static_argnames=(

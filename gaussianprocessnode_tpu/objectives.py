@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .ops.linalg import chol_lower, spd_inverse, tri_solve_lower
 from .ops.psi import psi_batch_expected_multi, psi_batch_expected_uni
-from .config import JITTER_KUU_SSM
+from .config import JITTER_KUU, JITTER_KUU_SSM
 
 __all__ = [
     "neg_log_backwardmess_fast",
@@ -26,13 +26,18 @@ __all__ = [
 ]
 
 
-def neg_log_backwardmess_fast(theta, *, kernel, Xu, X, y, mu_v, Uv, w, kuu_jitter: float = 0.0):
+def neg_log_backwardmess_fast(theta, *, kernel, Xu, X, y, mu_v, Uv, w,
+                              kuu_jitter: float = JITTER_KUU):
     """Batched known-input hyperparameter loss
     (reference: derivative_helper.jl:23-39):
 
         −Σᵢ [ −½w kxxᵢ + ½w‖Lu⁻¹kᵢ‖² − ½w‖Uv kᵢ‖² + w yᵢ⟨μ_v, kᵢ⟩ ]
 
     with kᵢ = K(Xu, xᵢ). X is (N,Din), y (N,), Uv the upper Cholesky of Rv.
+    ``kuu_jitter`` defaults to the reference's own +1e-8·I on Kuu (its
+    notebooks jitter every Kuu; an unjittered Cholesky can NaN during
+    L-BFGS linesearch excursions to large lengthscales, silently wasting
+    the epoch's θ update — the sibling objectives already jitter).
     """
     Kuu = kernel.kuu(theta, Xu, jitter=kuu_jitter)
     Lu = chol_lower(Kuu)
@@ -112,7 +117,7 @@ def neg_log_backwardmess_multi(
 def neg_log_backwardmess_gram(
     theta, *, kernel, Xu, X, y, mu_v, Rv, w,
     kuu_inv_warm=None, ns_iters: int = 30, ns_tol: float | None = None,
-    kuu_jitter: float = 0.0,
+    kuu_jitter: float = JITTER_KUU,  # = neg_log_backwardmess_fast's default
 ):
     """Factorization-free form of :func:`neg_log_backwardmess_fast` for TPU
     hot loops: the per-datum triangular solves collapse into trace forms

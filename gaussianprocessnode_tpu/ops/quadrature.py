@@ -236,6 +236,21 @@ def points_weights_multi(method, m, V):
     raise TypeError(f"unsupported multivariate method {method!r}")
 
 
+def points_weights_cov_multi(method, m, V):
+    """(points, mean weights, COVARIANCE weights). For every rule except the
+    classic UT the two weight sets coincide; the UT's central-moment weights
+    differ at the center point by 1−α²+β (≈3 at the α=1e-3 default) — a
+    second central moment contracted with the MEAN weights there is simply
+    wrong, so covariance-computing consumers (moment_match_multi) must use
+    this dispatch, not points_weights_multi."""
+    if isinstance(method, Unscented):
+        pts, wm, wc = ut_points_weights(m, V, method.alpha, method.beta,
+                                        method.kappa)
+        return pts, wm, wc
+    pts, w = points_weights_multi(method, m, V)
+    return pts, w, w
+
+
 def expect_uni(method, f, m, v):
     """E_q[f(x)] for scalar q = N(m, v); f is vmapped over points
     (equivalent of approximate_kernel_expectation, UniSGPnode.jl:25-33)."""
@@ -284,14 +299,16 @@ def moment_match_multi(logf, m, V, method=SphericalRadial()):
     Equivalent of ``prod(GenericProd, MvNormal, ContinuousMultivariateLogPdf)``
     (reference: MultiSGPnode.jl:37-44). NaN guard falls back to (m, V).
     """
-    pts, w = points_weights_multi(method, m, V)
+    pts, w, w_cov = points_weights_cov_multi(method, m, V)
     lf = jax.vmap(logf)(pts)
     lf = lf - jnp.max(lf)
     f = jnp.exp(lf)
     Z = jnp.sum(w * f)
     mt = (w * f) @ pts / Z
     diff = pts - mt[None, :]
-    Vt = jnp.einsum("p,pi,pj->ij", w * f, diff, diff) / Z
+    # central second moment uses the method's COVARIANCE weights (UT's
+    # center weight differs from its mean weight by 1−α²+β)
+    Vt = jnp.einsum("p,pi,pj->ij", w_cov * f, diff, diff) / Z
     # guard: with few cubature points a strongly-varying log-density makes the
     # matched covariance (near-)singular — fall back to the Gaussian factor,
     # mirroring the reference's overflow/NaN fallback (MultiSGPnode.jl:39-43).
@@ -386,7 +403,14 @@ def _joint_from_marginals(marginals):
             K1 = jnp.asarray(q[3]).reshape(-1)
         else:
             S1 = jnp.zeros((d,), m1.dtype)
-            K1 = 3.0 * jnp.diagonal(V1) ** 2  # Gaussian raw 4th central moment
+            # Gaussian default kurtosis in the CHOLESKY basis (3·diagL⁴),
+            # matching genut_points_weights_multi's own K=None default — the
+            # joint V is block-diagonal so its chol diagonal is the blockwise
+            # chol diagonals. (3·diag(V)² is only equal for diagonal V; for
+            # correlated marginals it overspreads the later axes and the
+            # joint path's sigma points diverge from the direct path's —
+            # measured 0.083 on a 2×2, worse vs an MC oracle.)
+            K1 = 3.0 * jnp.diagonal(_cholsqrt(V1)) ** 4
         ms.append(m1)
         Vs.append(V1)
         Ss.append(S1)

@@ -323,6 +323,22 @@ class TestQuadrature:
         np.testing.assert_allclose(np.asarray(Vt), np.asarray(A @ V_joint @ A.T), atol=1e-9)
         np.testing.assert_allclose(np.asarray(Ct), np.asarray(V_joint @ A.T), atol=1e-9)
 
+    def test_genut_joint_gaussian_default_matches_direct_path(self):
+        # review-r3 regression: for a CORRELATED Gaussian marginal with no
+        # explicit moments, the joint path must build the SAME sigma points
+        # as genut_points_weights_multi's own K=None default (the old
+        # 3·diag(V)² default overspread the later Cholesky axes by
+        # 3·V_ii²/L_ii⁴ > 3 and was measurably worse vs an MC oracle)
+        my = jnp.asarray([0.2, -0.5])
+        Vy = jnp.asarray([[0.5, 0.3], [0.3, 0.4]])
+
+        def g(y):
+            return jnp.sin(y[0]) * y[1] + y @ y
+
+        direct = quad.expect_multi(quad.GenUT(), g, my, Vy)
+        joint = quad.genut_expectation_joint(lambda y: g(y), (my, Vy))
+        np.testing.assert_allclose(float(joint), float(direct), rtol=1e-12)
+
     def test_moment_match_uni_conjugate(self):
         # product of two Gaussians has closed form
         m1, v1, m2, v2 = 0.5, 2.0, -0.3, 0.7

@@ -168,3 +168,51 @@ class TestCollapsedTrainer:
                                  X, y, 0.01, jitter=1e-5)
         np.testing.assert_allclose(
             float(smse(data.y_test, np.asarray(pred))), 0.00883, atol=3e-4)
+
+
+class TestELBORobustness:
+    def test_elbo_value_finite_with_negative_raw_tril_diagonal(self):
+        """Review-r3 regression: with raw_tril=True a negative unconstrained
+        diagonal entry is a VALID factor (AAᵀ stays PD, log|AAᵀ| =
+        2Σlog|A_ii|), but the old log(diag) made the ELBO VALUE NaN while
+        gradients stayed finite — silently breaking loss traces and
+        value-based linesearches."""
+        from gaussianprocessnode_tpu.infer.svgp import SVGPParams, elbo_gaussian
+
+        rng = np.random.default_rng(3)
+        M, D, N = 6, 1, 20
+        Xu = jnp.asarray(rng.standard_normal((M, D)))
+        X = jnp.asarray(rng.standard_normal((N, D)))
+        y = jnp.asarray(rng.standard_normal(N))
+        A_raw = jnp.asarray(np.tril(rng.standard_normal((M, M))))
+        A_raw = A_raw.at[1, 1].set(-0.5)  # negative diagonal, PD AAᵀ
+        params = SVGPParams(
+            invsoftplus(jnp.ones(D + 1)), jnp.zeros(M), A_raw,
+            jnp.asarray(np.log(0.1)),
+        )
+        for whitened in (True, False):
+            val = elbo_gaussian(KERNEL, params, Xu, X, y, whitened=whitened,
+                                raw_tril=True)
+            assert bool(jnp.isfinite(val)), (whitened, float(val))
+
+    def test_collapsed_predict_cholesky_path(self):
+        """collapsed_predict must run WITHOUT an LU solve (no f64 LU path on
+        the TPU backend) and equal the explicit two-solve algebra it
+        simplifies: Kuu⁻¹·Kuu·S⁻¹z = S⁻¹z."""
+        rng = np.random.default_rng(4)
+        M, D, N, T = 8, 2, 40, 12
+        Xu = jnp.asarray(rng.standard_normal((M, D)))
+        X = jnp.asarray(rng.standard_normal((N, D)))
+        Xt = jnp.asarray(rng.standard_normal((T, D)))
+        y = jnp.asarray(rng.standard_normal(N))
+        theta = invsoftplus(jnp.ones(D + 1))
+        noise = 0.05
+        mean = collapsed_predict(KERNEL, theta, Xu, Xt, X, y, noise)
+        # explicit reference algebra (the pre-simplification form)
+        Kuu = KERNEL.kuu(theta, Xu, jitter=1e-10)
+        Kux = KERNEL(theta, Xu, X)
+        Kut = KERNEL(theta, Xu, Xt)
+        S = Kuu + Kux @ Kux.T / noise
+        mu_u = Kuu @ np.linalg.solve(np.asarray(S), np.asarray(Kux @ y) / noise)
+        ref = np.asarray(Kut).T @ np.linalg.solve(np.asarray(Kuu), mu_u)
+        np.testing.assert_allclose(np.asarray(mean), ref, rtol=1e-6, atol=1e-8)
