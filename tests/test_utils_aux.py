@@ -163,3 +163,69 @@ class TestAotCache:
         assert n == 1 and os.path.exists(fresh / "jit_fit_kin40k_fast-abc-cache")
         # idempotent: second seed copies nothing
         assert seed_cache(str(fresh), art_dir=str(art)) == 0
+
+
+class TestChunkedRun:
+    """utils/driver.chunked_run — the ONE chunk+retry protocol the long
+    experiments share (kin40k, banana)."""
+
+    def test_chunks_thread_state_and_sum_to_total(self):
+        import jax.numpy as jnp
+
+        from gaussianprocessnode_tpu.utils.driver import chunked_run
+
+        calls = []
+
+        def step(e, state):
+            calls.append(e)
+            return (jnp.asarray(1.0), state + e)  # out[-1] = resume carry
+
+        out = chunked_run(step, total=250, chunk=100, state=0)
+        assert calls == [100, 100, 50]
+        assert out[-1] == 250
+
+    def test_transient_fault_retries_same_chunk(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gaussianprocessnode_tpu.utils.driver import chunked_run
+
+        fails = {"left": 2}
+
+        def step(e, state):
+            if state == 100 and fails["left"]:
+                fails["left"] -= 1
+                raise jax.errors.JaxRuntimeError("transient tunnel fault")
+            return (jnp.asarray(1.0), state + e)
+
+        out = chunked_run(step, total=300, chunk=100, state=0,
+                          retry_sleep=0.0)
+        assert out[-1] == 300 and fails["left"] == 0
+
+    def test_persistent_fault_propagates(self):
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from gaussianprocessnode_tpu.utils.driver import chunked_run
+
+        def step(e, state):
+            raise jax.errors.JaxRuntimeError("hard fault")
+
+        with pytest.raises(jax.errors.JaxRuntimeError):
+            chunked_run(step, total=100, chunk=50, state=0, retry_sleep=0.0)
+
+    def test_non_transient_error_not_retried(self):
+        import pytest
+
+        from gaussianprocessnode_tpu.utils.driver import chunked_run
+
+        calls = []
+
+        def step(e, state):
+            calls.append(e)
+            raise ValueError("a real bug, not tunnel weather")
+
+        with pytest.raises(ValueError):
+            chunked_run(step, total=100, chunk=50, state=0, retry_sleep=0.0)
+        assert calls == [50]  # exactly one attempt — no retry of real bugs
