@@ -356,7 +356,7 @@ def filter_stream(kernel, theta, Xu, frozen: GPSSMFilterFrozen, ys, carry):
     def step(c, y):
         m_prev, V_prev = c
         # PredictState = MultiSGP :out rule from the previous marginal
-        _, psi1, _ = psiops.psi_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
+        psi1 = psiops.psi1_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
         pred_mean = frozen.mu_blocks @ psi1
         # UpdateState = product with the MvN observation message N(y, P)
         prec = frozen.pred_prec + frozen.P_inv
@@ -451,7 +451,7 @@ def gpssm_vmp_sequential(
             m_prev, V_prev = carry
             y_t, succ_mean, is_last = inp
             # out-message through the node from the FRESH predecessor marginal
-            _, psi1, _ = psiops.psi_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
+            psi1 = psiops.psi1_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
             out_mean = mu_blocks @ psi1
             prec_g = W_mean + P_inv
             xi_g = W_mean @ out_mean + P_inv @ y_t

@@ -19,6 +19,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ..config import JITTER_KUU_SSM
 from ..dists import MvGaussian, MvGaussianNat, WishartFast
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
@@ -56,9 +57,9 @@ def out_message(kernel, method, args: MultiSGPArgs, q_in: MvGaussian, mu_v, W_me
     """Forward message MvN(μ_y, W̄⁻¹) with μ_y[d] = Ψ1ᵀ μ_v^(d)."""
     M = args.Xu.shape[0]
     D = W_mean.shape[0]
-    _, psi1, _ = psiops.psi_expected_multi(
+    psi1 = psiops.psi1_expected_multi(
         kernel, args.theta, args.Xu, method, q_in.mean, q_in.cov
-    )
+    )  # Ψ1 only: the out rule never consumes Ψ0/Ψ2
     mu_y = _split_blocks(mu_v, M, D) @ psi1  # (D,)
     from ..ops.linalg import cholinv, sym
 
@@ -126,7 +127,7 @@ def v_message(kernel, method, args: MultiSGPArgs, mu_y, q_in: MvGaussian, W_mean
         kernel, args.theta, args.Xu, method, q_in.mean, q_in.cov
     )
     yW = W_mean @ mu_y  # (D,)
-    xi = jnp.concatenate([yW[d] * psi1 for d in range(mu_y.shape[0])])
+    xi = (yW[:, None] * psi1[None, :]).reshape(-1)  # vcat_d((Wμ_y)_d·Ψ1)
     prec = jnp.kron(W_mean, psi2)
     return MvGaussianNat(xi, prec)
 
@@ -184,7 +185,10 @@ def theta_log_message(kernel, method, Xu, q_in: MvGaussian, mu_y, mu_v, Rv, W_me
         M = Xu.shape[0]
         psi0, psi1, psi2 = psiops.psi_expected_multi(kernel, theta, Xu, method, q_in.mean, q_in.cov)
         psi2 = psi2 + psi2_jitter * jnp.eye(M, dtype=psi2.dtype)
-        Kuu_inv = cholinv(kernel.kuu(theta, Xu))
+        # jittered like every other Kuu inverse in this module (JITTER_KUU_SSM
+        # convention): unjittered, a long-lengthscale θ probe NaNs the whole
+        # log-density and its gradient
+        Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
         tr_I1 = jnp.trace(W_mean) * (psi0 - jnp.trace(Kuu_inv @ psi2))
         lin = (W_mean @ mu_y) @ (_split_blocks(mu_v, M, D) @ psi1)
         # tr((W̄⊗Ψ2)Rv) = Σ_{ij} W̄_ij ⟨Ψ2, Rv_blk[j,i]⟩

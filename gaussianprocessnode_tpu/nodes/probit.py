@@ -77,7 +77,12 @@ def tilted_marginal_gh(m, v, y, n_gh: int = 32) -> Gaussian:
     m_t = jnp.sum(w * F * pts) / Z
     v_t = jnp.sum(w * F * (pts - m_t) ** 2) / Z
     v_t = jnp.maximum(v_t, 1e-12)
-    good = jnp.isfinite(m_t) & jnp.isfinite(v_t)
+    # Zsum > 0 is part of the guard: when every GH value underflows (f32 at
+    # |m| ≳ 12, e.g. a mislabeled outlier) the floored Z makes m_t = 0/tiny
+    # = 0 and v_t = 1e-12 — both FINITE, so an isfinite-only guard would
+    # return a confidently wrong N(0, 1e-12) instead of the documented
+    # fallback to the forward marginal
+    good = jnp.isfinite(m_t) & jnp.isfinite(v_t) & (Zsum > 0)
     return Gaussian(jnp.where(good, m_t, m), jnp.where(good, v_t, v))
 
 

@@ -28,7 +28,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..config import CLAMP_HI, CLAMP_LO, JITTER_PSI2
+from ..config import CLAMP_HI, CLAMP_LO, JITTER_KUU, JITTER_PSI2, VAR_FLOOR
 from ..dists import Gaussian, GammaShapeRate, MvGaussianNat
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
@@ -101,7 +101,8 @@ def marginal_in(kernel, args: UniSGPArgs, q_out: Gaussian, mu_v, w_mean, q_fwd: 
     (reference: rule UniSGPnode.jl:107-122 followed by prod at :39-46,
     including the +1e-6 variance floor and NaN fallback)."""
     logpdf = in_log_message(kernel, args, q_out, mu_v, w_mean)
-    m, v = quad.moment_match_uni(logpdf, q_fwd.mean, q_fwd.var, n=n_gh, var_floor=1e-6)
+    m, v = quad.moment_match_uni(logpdf, q_fwd.mean, q_fwd.var, n=n_gh,
+                                 var_floor=VAR_FLOOR)
     return Gaussian(m, v)
 
 
@@ -157,9 +158,12 @@ def w_message_exact(kernel, args: UniSGPArgs, x, mu_y, v_y, mu_v) -> GammaShapeR
     return GammaShapeRate(jnp.asarray(1.5), 0.5 * (I1 + I2))
 
 
-def w_message_uncertain(kernel, method, args: UniSGPArgs, q_out_mean, q_out_var, q_in: Gaussian, mu_v) -> GammaShapeRate:
-    """Uncertain-input w message with clamped I1/I2
-    (reference: UniSGPnode.jl:177-192)."""
+def _w_terms_uncertain(kernel, method, args: UniSGPArgs, q_out_mean,
+                       q_out_var, q_in: Gaussian, mu_v):
+    """Clamped uncertain-input (I1, I2) — shared by the w message AND the
+    average energy (UniSGPnode.jl computes the same trace terms at :177-192
+    and :290-313; one copy here keeps the FE consistent with the messages
+    that produced it)."""
     psi0, psi1, psi2 = psiops.psi_expected_uni(
         kernel, args.theta, args.Xu, method, q_in.mean, q_in.var
     )
@@ -168,19 +172,37 @@ def w_message_uncertain(kernel, method, args: UniSGPArgs, q_out_mean, q_out_var,
     s = tri_solve_lower(args.KuuL, psi2)
     s = tri_solve_lower(args.KuuL, s.T)  # KuuL⁻¹ (KuuL⁻¹ Ψ2)ᵀ; trace-equivalent
     I1 = _clamp(psi0 - jnp.trace(s))
-    UtU_psi2 = args.Uv.T @ (args.Uv @ psi2)
-    I2 = _clamp(q_out_mean**2 + q_out_var - 2.0 * q_out_mean * jdot(psi1, mu_v) + jnp.trace(UtU_psi2))
+    # tr(UvᵀUv Ψ2) = Σᵢⱼ (Uv Ψ2)ᵢⱼ (Uv)ᵢⱼ — one GEMM instead of two (only
+    # the diagonal of the old Uvᵀ(UvΨ2) product was consumed)
+    tr_uvpsi2 = jnp.sum((args.Uv @ psi2) * args.Uv)
+    I2 = _clamp(q_out_mean**2 + q_out_var
+                - 2.0 * q_out_mean * jdot(psi1, mu_v) + tr_uvpsi2)
+    return I1, I2
+
+
+def w_message_uncertain(kernel, method, args: UniSGPArgs, q_out_mean, q_out_var, q_in: Gaussian, mu_v) -> GammaShapeRate:
+    """Uncertain-input w message with clamped I1/I2
+    (reference: UniSGPnode.jl:177-192)."""
+    I1, I2 = _w_terms_uncertain(kernel, method, args, q_out_mean, q_out_var,
+                                q_in, mu_v)
     return GammaShapeRate(jnp.asarray(1.5), 0.5 * (I1 + I2))
+
+
+def _w_terms_batch_exact(args: UniSGPArgs, kxx, Kux, y_mean, y_var, mu_v):
+    """Per-datum exact (I1, I2) vectors — shared by the batched w message
+    and the batched average energy."""
+    alpha = tri_solve_lower(args.KuuL, Kux)  # (M, N)
+    I1 = kxx - jnp.sum(alpha * alpha, axis=0)
+    beta = args.Uv @ Kux
+    I2 = y_mean**2 + y_var - 2.0 * y_mean * (Kux.T @ mu_v) + jnp.sum(beta * beta, axis=0)
+    return I1, I2
 
 
 def w_message_batch_exact(kernel, args: UniSGPArgs, kxx, Kux, y_mean, y_var, mu_v):
     """Batched exact w messages: returns (Σ shape increments, Σ rates).
     Equivalent of N products of Γ(3/2, rateᵢ) messages:
         q(w) = Γ(a₀ + N/2, b₀ + Σᵢ rateᵢ)."""
-    alpha = tri_solve_lower(args.KuuL, Kux)  # (M, N)
-    I1 = kxx - jnp.sum(alpha * alpha, axis=0)
-    beta = args.Uv @ Kux
-    I2 = y_mean**2 + y_var - 2.0 * y_mean * (Kux.T @ mu_v) + jnp.sum(beta * beta, axis=0)
+    I1, I2 = _w_terms_batch_exact(args, kxx, Kux, y_mean, y_var, mu_v)
     rates = 0.5 * (I1 + I2)
     N = kxx.shape[0]
     return 0.5 * N, jnp.sum(rates)
@@ -191,9 +213,13 @@ def w_message_batch_exact(kernel, args: UniSGPArgs, kxx, Kux, y_mean, y_var, mu_
 # ---------------------------------------------------------------------------
 
 
-def theta_log_message_exact(kernel, Xu, x, mu_y, mu_v, Rv, w_mean, kuu_jitter: float = 0.0) -> Callable:
+def theta_log_message_exact(kernel, Xu, x, mu_y, mu_v, Rv, w_mean,
+                            kuu_jitter: float = JITTER_KUU) -> Callable:
     """log ν(θ) = w μ_y Ψ1(θ)ᵀμ_v − ½w(Ψ0(θ) + tr(Ψ2(θ)(Rv − Kuu(θ)⁻¹)))
-    with exact Ψ's (reference: UniSGPnode.jl:242-272)."""
+    with exact Ψ's (reference: UniSGPnode.jl:242-272). Kuu is jittered by
+    default (the reference's own +1e-8·I): an L-BFGS excursion to a long
+    lengthscale makes Kuu numerically singular and an unjittered Cholesky
+    NaNs the whole log-density AND its gradient."""
 
     def logpdf(theta):
         from ..ops.linalg import cholinv
@@ -208,14 +234,17 @@ def theta_log_message_exact(kernel, Xu, x, mu_y, mu_v, Rv, w_mean, kuu_jitter: f
     return logpdf
 
 
-def theta_log_message_uncertain(kernel, method, Xu, q_in: Gaussian, mu_y, mu_v, Rv, w_mean) -> Callable:
-    """Same with expected Ψ's under q_in (reference: UniSGPnode.jl:274-287)."""
+def theta_log_message_uncertain(kernel, method, Xu, q_in: Gaussian, mu_y,
+                                mu_v, Rv, w_mean,
+                                kuu_jitter: float = JITTER_KUU) -> Callable:
+    """Same with expected Ψ's under q_in (reference: UniSGPnode.jl:274-287);
+    Kuu jittered as in :func:`theta_log_message_exact`."""
 
     def logpdf(theta):
         from ..ops.linalg import cholinv
 
         psi0, psi1, psi2 = psiops.psi_expected_uni(kernel, theta, Xu, method, q_in.mean, q_in.var)
-        Kuu_inv = cholinv(kernel.kuu(theta, Xu))
+        Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=kuu_jitter)
         tr_term = jnp.sum(psi2 * (Rv - Kuu_inv).T)
         return w_mean * mu_y * jdot(psi1, mu_v) - 0.5 * w_mean * (psi0 + tr_term)
 
@@ -241,26 +270,13 @@ def average_energy_exact(kernel, args: UniSGPArgs, x, mu_y, v_y, mu_v, w_mean, E
 
 def average_energy_exact_batch(kernel, args: UniSGPArgs, kxx, Kux, y_mean, y_var, mu_v, w_mean, E_logw):
     """Σᵢ U[q] over a batch with exact kernel rows — batched GEMM form."""
-    alpha = tri_solve_lower(args.KuuL, Kux)
-    I1 = kxx - jnp.sum(alpha * alpha, axis=0)
-    beta = args.Uv @ Kux
-    I2 = y_mean**2 + y_var - 2.0 * y_mean * (Kux.T @ mu_v) + jnp.sum(beta * beta, axis=0)
+    I1, I2 = _w_terms_batch_exact(args, kxx, Kux, y_mean, y_var, mu_v)
     return jnp.sum(_energy(I1, I2, w_mean, E_logw))
 
 
 def average_energy_uncertain(kernel, method, args: UniSGPArgs, q_out_mean, q_out_var, q_in: Gaussian, mu_v, w_mean, E_logw):
     """U[q] with expected Ψ's and clamped I1/I2
-    (reference: UniSGPnode.jl:290-313)."""
-    psi0, psi1, psi2 = psiops.psi_expected_uni(
-        kernel, args.theta, args.Xu, method, q_in.mean, q_in.var
-    )
-    M = psi2.shape[0]
-    psi2 = psi2 + JITTER_PSI2 * jnp.eye(M, dtype=psi2.dtype)
-    s = tri_solve_lower(args.KuuL, psi2)
-    s = tri_solve_lower(args.KuuL, s.T)
-    I1 = _clamp(psi0 - jnp.trace(s))
-    UtU_psi2 = args.Uv.T @ (args.Uv @ psi2)
-    I2 = _clamp(
-        q_out_mean**2 + q_out_var - 2.0 * q_out_mean * jdot(psi1, mu_v) + jnp.trace(UtU_psi2)
-    )
+    (reference: UniSGPnode.jl:290-313) — the w rule's shared terms."""
+    I1, I2 = _w_terms_uncertain(kernel, method, args, q_out_mean, q_out_var,
+                                q_in, mu_v)
     return _energy(I1, I2, w_mean, E_logw)

@@ -158,5 +158,3 @@ class Kernel:
         return K
 
 
-# vmapped gram over a batch of right-hand inputs: (B, P, D) -> (B, M, P)
-batched_gram = jax.vmap(gram, in_axes=(None, None, 0, None, None))

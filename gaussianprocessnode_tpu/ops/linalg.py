@@ -83,12 +83,6 @@ def jdot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.vdot(a, b)
 
 
-def quad_form(U: jax.Array, x: jax.Array) -> jax.Array:
-    """‖U x‖² = xᵀ Uᵀ U x (the reference's ``dot(β,β)`` with β = Uv*B)."""
-    y = U @ x
-    return jnp.vdot(y, y)
-
-
 def sym(A: jax.Array) -> jax.Array:
     """Symmetrize (guards accumulation error before Cholesky)."""
     return 0.5 * (A + A.mT)
@@ -106,11 +100,6 @@ def solve_psd(A: jax.Array, B: jax.Array, jitter: float = 0.0) -> jax.Array:
     """Solve A X = B for symmetric PSD A via Cholesky."""
     L = chol_lower(A, jitter)
     return chol_solve(L, B)
-
-
-def kron(A: jax.Array, B: jax.Array) -> jax.Array:
-    """Kronecker product (reference: ``kron!`` in MultiSGPnode.jl:306)."""
-    return jnp.kron(A, B)
 
 
 def block_trace_products(Rv: jax.Array, S: jax.Array, D: int, M: int) -> jax.Array:

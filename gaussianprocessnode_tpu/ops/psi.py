@@ -21,6 +21,7 @@ __all__ = [
     "psi1_exact",
     "psi_expected_uni",
     "psi_expected_multi",
+    "psi1_expected_multi",
     "psi_batch_exact",
     "psi_batch_expected_uni",
     "psi_batch_expected_multi",
@@ -52,6 +53,14 @@ def psi_expected_multi(kernel, theta, Xu, method, m, V):
     """Expected Ψ's under q(x)=N(m,V), m (Din,). Xu is (M,Din)."""
     pts, w = quad.points_weights_multi(method, m, V)
     return _psi_from_points(kernel, theta, Xu, pts, w)
+
+
+def psi1_expected_multi(kernel, theta, Xu, method, m, V):
+    """Ψ1 only (M,) — for consumers of just the forward mean (the MultiSGP
+    :out rule / GPSSM filter), which otherwise pay Ψ2's (M,P)×(P,M) GEMM
+    for nothing."""
+    pts, w = quad.points_weights_multi(method, m, V)
+    return kernel(theta, Xu, pts) @ w
 
 
 def psi_batch_exact(kernel, theta, Xu, X):

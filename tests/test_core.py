@@ -94,6 +94,22 @@ class TestLinalg:
         )
         np.testing.assert_allclose(la.sum_blocks_weighted(Rv, W, D, M), acc, atol=1e-10)
 
+    def test_trace_blocks(self):
+        # trace_blkmatrix parity (reference: derivative_helper.jl:125-127):
+        # out[i,j] = tr(block[i,j]) of a (DM,DM) matrix viewed as D×D blocks
+        import gaussianprocessnode_tpu.ops.linalg as la
+
+        D, M = 3, 4
+        rng_ = np.random.default_rng(11)
+        R = rng_.standard_normal((D * M, D * M))
+        expected = np.empty((D, D))
+        for i in range(D):
+            for j in range(D):
+                expected[i, j] = np.trace(R[i * M:(i + 1) * M, j * M:(j + 1) * M])
+        np.testing.assert_allclose(
+            la.trace_blocks(jnp.asarray(R), D, M), expected, atol=1e-12
+        )
+
     def test_sum_diagonal_blocks(self):
         # reference: sum_diagonal_M(V, M) (derivative_helper.jl:119-122)
         D, M = 3, 5

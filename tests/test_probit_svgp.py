@@ -38,6 +38,18 @@ class TestProbit:
             np.testing.assert_allclose(float(q.mean), mt, rtol=1e-8)
             np.testing.assert_allclose(float(q.var), vt, rtol=1e-7)
 
+    def test_gh_underflow_falls_back_to_forward_marginal(self):
+        """Review-r3 regression: in f32, all 32 GH probit values underflow
+        at |m| ≳ 12 (a mislabeled outlier), making Zsum = 0; the floored Z
+        then produced a FINITE but confidently wrong N(0, 1e-12) instead of
+        the documented fallback to the forward marginal — the guard must
+        also require Zsum > 0."""
+        m, v, y = jnp.float32(-20.0), jnp.float32(0.5), jnp.float32(1.0)
+        q = probit.tilted_marginal_gh(m, v, y)
+        assert q.mean.dtype == jnp.float32  # genuinely the f32 path
+        np.testing.assert_allclose(float(q.mean), -20.0)  # fallback = forward
+        np.testing.assert_allclose(float(q.var), 0.5)
+
     def test_out_probability(self):
         # P(y=1) = Φ(m/√(1+v))
         q = Gaussian(jnp.asarray(0.7), jnp.asarray(2.0))

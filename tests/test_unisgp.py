@@ -218,7 +218,8 @@ class TestThetaRule:
             Kuu = th[0] * np.exp(
                 -0.5 * (np.asarray(XU)[:, 0, None] - np.asarray(XU)[None, :, 0]) ** 2 / th[1] ** 2
             )
-            Kinv = np.linalg.inv(Kuu)
+            # oracle jitters Kuu like the rule (the reference's own +1e-8·I)
+            Kinv = np.linalg.inv(Kuu + 1e-8 * np.eye(Kuu.shape[0]))
             psi0 = th[0]
             psi2 = np.outer(Kxu, Kxu)
             gt = w * 2.0 * Kxu @ np.asarray(MU_V) - 0.5 * w * (
@@ -235,7 +236,8 @@ class TestThetaRule:
         for th in [[1.0, 2.0], [0.5, 1.4]]:
             thj = jnp.asarray(th)
             p0, p1, p2 = psiops.psi_expected_uni(KER, thj, XU, GH, Q_X.mean, Q_X.var)
-            Kinv = np.asarray(cholinv(KER.kuu(thj, XU)))
+            # oracle jitters Kuu like the rule (the reference's own +1e-8·I)
+            Kinv = np.asarray(cholinv(KER.kuu(thj, XU), jitter=1e-8))
             gt = w * float(Q_OUT.mean) * np.asarray(p1) @ np.asarray(MU_V) - 0.5 * w * (
                 float(p0) + np.trace(np.asarray(p2) @ (np.asarray(RV) - Kinv))
             )
@@ -396,3 +398,23 @@ class TestMultiObjectiveOracle:
             for i in range(N)
         )
         np.testing.assert_allclose(float(val), -tot, atol=1e-8)
+
+
+class TestThetaRuleRobustness:
+    def test_extreme_lengthscale_stays_finite(self):
+        """Review-r3 regression: an L-BFGS linesearch excursion to a long
+        lengthscale makes Kuu numerically singular; unjittered, both θ-rule
+        log-densities (and their gradients) came back NaN — silently wasting
+        the epoch's θ update. The default jitter (the reference's own
+        +1e-8·I) must keep them finite."""
+        w = float(gamma_mean(Q_W))
+        th_far = jnp.asarray([1.0, 500.0])
+        lp_exact = unisgp.theta_log_message_exact(
+            KER, XU, jnp.asarray(1.0), 2.0, MU_V, RV, w
+        )
+        lp_unc = unisgp.theta_log_message_uncertain(
+            KER, GH, XU, Q_X, float(Q_OUT.mean), MU_V, RV, w
+        )
+        for lp in (lp_exact, lp_unc):
+            assert bool(jnp.isfinite(lp(th_far)))
+            assert bool(jnp.all(jnp.isfinite(jax.grad(lp)(th_far))))
