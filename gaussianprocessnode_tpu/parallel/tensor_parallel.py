@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["shard_inducing", "tp_regression_sweep", "tp_predict"]
+__all__ = ["shard_inducing", "tp_regression_sweep", "dp_tp_regression_sweep",
+           "tp_predict"]
 
 
 def shard_inducing(mesh: Mesh, *arrays, axis: str = "tp"):
@@ -177,6 +178,68 @@ def tp_regression_sweep(kernel, theta, Xu, X, y, prior_var: float, w_val,
         in_specs=(P(axis, None),),
         out_specs=(P(axis), P(axis, None), P(axis), P(axis, None)),
     )(Xu)
+
+
+def dp_tp_regression_sweep(kernel, theta, Xu, X, y, prior_var: float, w_val,
+                           mesh: Mesh, dp_axis: str = "dp",
+                           tp_axis: str = "tp", ns_iters: int = 40,
+                           lambda_min=None, ir_rounds: int = 2):
+    """The 2-D composition: data AND inducing dimensions sharded at once.
+
+    ``mesh`` is 2-D (``dp_axis``, ``tp_axis``); ``Xu`` is row-sharded over
+    ``tp_axis`` (replicated over dp), ``X``/``y`` are sharded over
+    ``dp_axis`` (replicated over tp). Each device computes the Gram tile
+    K(Xu_loc, X_loc) — (M/Pt, N/Pd), never materializing a full Gram row
+    OR column anywhere — and the natural-parameter increments become
+
+        ξ_row  = psum_dp( w · K_tile y_loc )
+        Λ_row  = psum_dp( w · K_tile · gather_tp(K_tile)ᵀ )
+
+    after which the solve is the tp-only distributed Newton–Schulz /
+    iterative refinement of :func:`tp_regression_sweep` (dp replicas do
+    identical work on the dp-invariant reduced state, exactly like the
+    replicated q(v) solve in ``sharding.dp_regression_sweep``). Outputs are
+    row-sharded over tp and replicated over dp.
+    """
+    M = Xu.shape[0]
+    nt = mesh.shape[tp_axis]
+    nd = mesh.shape[dp_axis]
+    if M % nt:
+        raise ValueError(f"M={M} does not shard evenly over {nt} devices")
+    if X.shape[0] % nd:
+        raise ValueError(
+            f"N={X.shape[0]} does not shard evenly over {nd} devices")
+    dt = jnp.result_type(X.dtype, jnp.asarray(w_val).dtype)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def body(Xu_loc, X_loc, y_loc):
+        m = Xu_loc.shape[0]
+        K_tile = kernel(theta, Xu_loc, X_loc).astype(dt)   # (m, N/Pd)
+        xi_loc = jax.lax.psum(w_val * mm(K_tile, y_loc.astype(dt)), dp_axis)
+        K_col = jax.lax.all_gather(K_tile, tp_axis, tiled=True)  # (M, N/Pd)
+        prec_loc = (jax.lax.psum(w_val * mm(K_tile, K_col.T), dp_axis)
+                    + _eye_rows(M, m, tp_axis, dt) / prior_var)  # (m, M)
+        prec_full = jax.lax.all_gather(prec_loc, tp_axis, tiled=True)
+        i0 = jax.lax.axis_index(tp_axis) * m
+        prec_loc = 0.5 * (prec_loc
+                          + jax.lax.dynamic_slice_in_dim(prec_full, i0, m, 1).T)
+        cov_loc = _ns_inverse_rows(prec_loc, tp_axis, ns_iters, lambda_min)
+        xi_full = jax.lax.all_gather(xi_loc, tp_axis, tiled=True)
+        mu_loc = mm(cov_loc, xi_full)
+        for _ in range(ir_rounds):
+            mu_full = jax.lax.all_gather(mu_loc, tp_axis, tiled=True)
+            r_loc = xi_loc - mm(prec_loc, mu_full)
+            r_full = jax.lax.all_gather(r_loc, tp_axis, tiled=True)
+            mu_loc = mu_loc + mm(cov_loc, r_full)
+        return mu_loc, cov_loc, xi_loc, prec_loc
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(tp_axis, None), P(dp_axis, None), P(dp_axis)),
+        out_specs=(P(tp_axis), P(tp_axis, None), P(tp_axis),
+                   P(tp_axis, None)),
+    )(Xu, X, y)
 
 
 def tp_predict(kernel, theta, Xu, mu_v, w_mean, X_test, mesh: Mesh,

@@ -103,6 +103,35 @@ def test_tp_sweep_under_jit():
     np.testing.assert_allclose(np.asarray(run(THETA)), mu, rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.parametrize("pd,pt", [(1, 8), (8, 1), (2, 4), (4, 2), (2, 2)])
+def test_dp_tp_sweep_matches_dense(pd, pt):
+    """2-D composition: Gram TILES K(Xu_loc, X_loc), ξ/Λ psum'd over dp,
+    tp-distributed solve — same result as the dense path at every mesh
+    factorization."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gaussianprocessnode_tpu.parallel.tensor_parallel import (
+        dp_tp_regression_sweep,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:pd * pt]).reshape(pd, pt),
+                ("dp", "tp"))
+    Xu_s = jax.device_put(XU, NamedSharding(mesh, P("tp", None)))
+    X_s = jax.device_put(X, NamedSharding(mesh, P("dp", None)))
+    y_s = jax.device_put(Y, NamedSharding(mesh, P("dp")))
+    mu_tp, cov_tp, xi_tp, prec_tp = dp_tp_regression_sweep(
+        KER, THETA, Xu_s, X_s, y_s, PRIOR_VAR, W, mesh
+    )
+    mu, cov, xi, prec = _dense_sweep()
+    # the dp-psum reassociates the Λ data sum (ulp-level input differences)
+    # and the NS inverse amplifies those by κ — hence the looser cov/mu band
+    # vs the tp-only test, where the accumulation order matches the dense path
+    np.testing.assert_allclose(np.asarray(xi_tp), xi, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(prec_tp), prec, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov_tp), cov, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_tp), mu, rtol=1e-7, atol=1e-7)
+
+
 def test_shard_inducing_rejects_uneven():
     mesh = make_mesh(jax.devices()[:8], axis="tp")
     with pytest.raises(ValueError):
