@@ -46,8 +46,15 @@ def make_mesh(devices=None, axis: str = "dp") -> Mesh:
 
 def shard_data(mesh: Mesh, *arrays, axis: str = "dp"):
     """Place arrays with their leading (data) dimension sharded over the mesh."""
+    n = mesh.shape[axis]
     out = []
     for a in arrays:
+        if a.shape[0] % n:
+            raise ValueError(
+                f"leading dim {a.shape[0]} does not shard evenly over {n} "
+                f"devices on axis {axis!r} — pick a size that is a multiple "
+                "of the device count"
+            )
         spec = P(axis, *([None] * (a.ndim - 1)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)

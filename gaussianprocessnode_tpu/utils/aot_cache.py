@@ -52,7 +52,14 @@ def harvest_cache(cache_dir: str, names: list[str], art_dir: str = _ART_DIR,
                   max_bytes: int = 80_000_000) -> list[str]:
     """Copy the newest cache entry for each jit-function name in ``names``
     from the live cache into the committed artifact dir (used after a bench
-    run to refresh the shipped executables). Returns the harvested files."""
+    run to refresh the shipped executables). Returns the harvested files.
+
+    Entries that would exceed ``max_bytes`` are skipped LOUDLY (printed to
+    stderr): a silently missing executable would cost every fresh clone the
+    ~200 s cold compile this module exists to eliminate, with no signal why.
+    """
+    import sys
+
     os.makedirs(art_dir, exist_ok=True)
     out = []
     total = 0
@@ -60,11 +67,16 @@ def harvest_cache(cache_dir: str, names: list[str], art_dir: str = _ART_DIR,
         cands = [f for f in os.listdir(cache_dir)
                  if f.startswith(f"jit_{name}-")]
         if not cands:
+            print(f"harvest_cache: no cache entry for {name!r} — the "
+                  "shipped AOT set will miss it", file=sys.stderr)
             continue
         newest = max(cands, key=lambda f: os.path.getmtime(
             os.path.join(cache_dir, f)))
         size = os.path.getsize(os.path.join(cache_dir, newest))
         if total + size > max_bytes:
+            print(f"harvest_cache: SKIPPED {newest} ({size} B) — would "
+                  f"exceed max_bytes={max_bytes} (used {total}); the shipped "
+                  f"AOT set will miss {name!r}", file=sys.stderr)
             continue
         shutil.copyfile(os.path.join(cache_dir, newest),
                         os.path.join(art_dir, newest))

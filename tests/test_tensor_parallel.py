@@ -1,9 +1,12 @@
 """Tensor-parallel (inducing-dimension) sharding tests on the virtual mesh.
 
-The TP sweep row-blocks every matmul (local left operand, all_gathered
-right operand), so each output element is the same dot product as the
-dense computation — results must match the single-device path to
-round-off, at every mesh size that divides M.
+The TP sweep ring-distributes every matmul (ppermute'd right-operand row
+blocks, P partial contractions per output element), so results match the
+single-device path up to ulp-level reassociation of the contraction —
+which the Newton–Schulz inverse amplifies by κ(Λ). The asserted bands
+(~1e-8..1e-7 on O(10..100) values) are that amplification envelope; the
+natural parameters themselves, whose per-element arithmetic is a single
+dot product either way, match to ~1e-12 relative.
 """
 
 import numpy as np
@@ -53,8 +56,8 @@ def test_tp_sweep_matches_dense(n_dev):
     mu, cov, xi, prec = _dense_sweep()
     np.testing.assert_allclose(np.asarray(xi_tp), xi, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(prec_tp), prec, rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(cov_tp), cov, rtol=0, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(mu_tp), mu, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov_tp), cov, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_tp), mu, rtol=1e-7, atol=1e-7)
 
 
 def test_tp_sweep_scaled_ns_matches_dense():
@@ -69,8 +72,8 @@ def test_tp_sweep_scaled_ns_matches_dense():
         ns_iters=28, lambda_min=lam,
     )
     mu, cov, _, _ = _dense_sweep(ns_iters=28, lambda_min=lam)
-    np.testing.assert_allclose(np.asarray(cov_tp), cov, rtol=0, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(mu_tp), mu, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov_tp), cov, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_tp), mu, rtol=1e-7, atol=1e-7)
 
 
 def test_tp_predict_matches_dense():
@@ -86,7 +89,9 @@ def test_tp_predict_matches_dense():
     Kst = KER(THETA, XU, XT)
     np.testing.assert_allclose(np.asarray(mean_tp), Kst.T @ mu,
                                rtol=0, atol=1e-10)
-    assert float(var_tp) == pytest.approx(1.0 / W)
+    # per-point variance, same shape contract as batch_vmp.predict_out
+    assert var_tp.shape == mean_tp.shape
+    np.testing.assert_allclose(np.asarray(var_tp), 1.0 / W)
 
 
 def test_tp_sweep_under_jit():
@@ -99,8 +104,8 @@ def test_tp_sweep_under_jit():
         return tp_regression_sweep(KER, th, Xu_s, X, Y, PRIOR_VAR, W, mesh)[0]
 
     mu, _, _, _ = _dense_sweep()
-    # jit changes XLA fusion order → ~1e-9 reassociation noise on O(60) values
-    np.testing.assert_allclose(np.asarray(run(THETA)), mu, rtol=1e-8, atol=1e-9)
+    # jit changes XLA fusion order on top of the ring reassociation band
+    np.testing.assert_allclose(np.asarray(run(THETA)), mu, rtol=1e-7, atol=1e-7)
 
 
 @pytest.mark.parametrize("pd,pt", [(1, 8), (8, 1), (2, 4), (4, 2), (2, 2)])
