@@ -1,0 +1,134 @@
+"""Legacy-notebook GP families: exact/t-process regression and SDE-GP.
+
+The reference's `.ipynb_checkpoints/` holds exploratory notebooks outside
+its current library surface (SURVEY §2.8); this CLI runs the three that are
+self-contained GP models, re-designed TPU-first:
+
+- tprocess        (tpregression-checkpoint.ipynb): dense GP vs Student-t
+                  process on sinc-with-outliers — the TP ribbon widens under
+                  outliers, the GP's cannot.
+- sde             (GPregress_SDE_M52-checkpoint.ipynb): Matérn-5/2 GP
+                  regression as an O(T) Kalman/RTS `lax.scan`, exact vs the
+                  dense posterior; plus gradient-based θ learning through
+                  the scan (beyond the notebook).
+- fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
+  fitc_sor_kin40k) since they share its saved-Xu loaders.
+
+Usage: python experiments/legacy_gp.py [tprocess] [sde]
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import sys
+import time
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprocessnode_tpu.ops.kernels import Kernel
+
+
+def run_tprocess(verbose: bool = True):
+    """GP vs TP(ν=100) on the notebook's sinc-with-outliers shape (its
+    cell 2: N=20, precision-100 noise, targets 10:11 shifted +2, ℓ=log 2)."""
+    from gaussianprocessnode_tpu.infer.tprocess import (
+        gp_exact_posterior, tp_exact_posterior)
+
+    kernel = Kernel("matern52", transform="identity")
+    theta = jnp.asarray([1.0, float(np.log(2.0))])
+    rng = np.random.default_rng(4)
+    x = np.sort(rng.uniform(-3.0, 3.0, size=20))
+    y = np.sinc(x / np.pi) + rng.normal(size=20) * 0.1
+    y[9:11] += 2.0
+    xt = np.linspace(-3.1, 3.1, 60)
+    X, Y, Xt = jnp.asarray(x[:, None]), jnp.asarray(y), jnp.asarray(xt[:, None])
+    t0 = time.time()
+    gp = gp_exact_posterior(kernel, theta, X, Y, Xt, 0.01)
+    tp = tp_exact_posterior(kernel, theta, 100.0, X, Y, Xt, 0.01)
+    if verbose:
+        print(f"[t-process toy] GP mean==TP mean: "
+              f"{np.allclose(np.asarray(gp.mean), np.asarray(tp.mean))}; "
+              f"TP fit_scale {float(tp.fit_scale):.3f} (>1 ⇒ outliers widen "
+              f"the ribbon), mean var ratio TP/GP "
+              f"{float(jnp.mean(tp.var / jnp.maximum(gp.var, 1e-12))):.3f}, "
+              f"wall {time.time()-t0:.1f}s")
+    return float(tp.fit_scale)
+
+
+def run_sde(verbose: bool = True):
+    """The SDE notebook's workload (cell 8: 2 sin t + cos 2t on 100 grid
+    points, 38 observed, σ²=0.2) smoothed in O(T), checked against the
+    dense Matérn-5/2 posterior, then θ learned by gradient through the
+    scan."""
+    import optax
+
+    from gaussianprocessnode_tpu.infer.sde_gp import sde_gp_nlml, sde_gp_smooth
+
+    kernel = Kernel("matern52", transform="identity")
+    rng = np.random.default_rng(10)
+    T = 100
+    t = np.linspace(0.0, 5.0, T)
+    f_true = 2.0 * np.sin(t) + np.cos(2.0 * t)
+    mask = np.zeros(T, bool)
+    mask[np.sort(rng.permutation(75)[:38])] = True
+    obs_var = 0.2
+    y = f_true + np.sqrt(obs_var) * rng.normal(size=T)
+    tj, yj, mj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(mask)
+
+    theta = jnp.asarray([1.0, 1.0])
+    t0 = time.time()
+    res = sde_gp_smooth(theta, tj, yj, mj, obs_var)
+    # observations live in the first 75 grid positions (notebook cell 8), so
+    # t > 3.75 is pure extrapolation — report the interpolation region
+    interp = np.arange(T) < 75
+    rmse0 = float(np.sqrt(np.mean(
+        (np.asarray(res.mean)[interp] - f_true[interp]) ** 2)))
+
+    # dense-GP cross-check (the equivalence the tests pin to 1e-8)
+    to = t[mask][:, None]
+    Koo = np.asarray(kernel(theta, to, to)) + obs_var * np.eye(mask.sum())
+    Kto = np.asarray(kernel(theta, t[:, None], to))
+    dense_mean = Kto @ np.linalg.solve(Koo, y[mask])
+    agree = float(np.max(np.abs(dense_mean - np.asarray(res.mean))))
+
+    # θ learning through the scan (beyond the fixed-θ notebook)
+    opt = optax.adamax(0.05)
+
+    @jax.jit
+    def step(th, os_):
+        g = jax.grad(lambda p: sde_gp_nlml(p, tj, yj, mj, obs_var))(th)
+        upd, os_ = opt.update(g, os_, th)
+        return optax.apply_updates(th, upd), os_
+
+    os_ = opt.init(theta)
+    th = theta
+    for _ in range(200):
+        th, os_ = step(th, os_)
+    res_opt = sde_gp_smooth(th, tj, yj, mj, obs_var)
+    rmse1 = float(np.sqrt(np.mean(
+        (np.asarray(res_opt.mean)[interp] - f_true[interp]) ** 2)))
+    if verbose:
+        print(f"[SDE-GP Matérn-5/2] smoother==dense to {agree:.2e}; "
+              f"interp RMSE vs truth {rmse0:.4f} @θ=[1,1] → {rmse1:.4f} "
+              f"after 200 NLML steps "
+              f"(θ=[{float(th[0]):.3f}, {float(th[1]):.3f}]), "
+              f"log_lik {float(res.log_lik):.2f} → "
+              f"{float(res_opt.log_lik):.2f}, wall {time.time()-t0:.1f}s")
+    return rmse1
+
+
+if __name__ == "__main__":
+    which = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = which or ["tprocess", "sde"]
+    for w in which:
+        {"tprocess": run_tprocess, "sde": run_sde}[w]()

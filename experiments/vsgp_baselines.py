@@ -282,6 +282,70 @@ def run_banana(epochs: int = 1000, m_inducing: int = 500, batch: int = 200,
     return errs, rate, train_s
 
 
+def run_fitc_sor_toy(steps: int = 800, verbose: bool = True):
+    """The legacy FITC/SoR notebook's toy run on the SAME saved draw + Xu
+    (.ipynb_checkpoints/Regression_FITC_SoR-checkpoint.ipynb cells 5-7:
+    recorded SMSE — SoR 0.008066, FITC 0.008064)."""
+    from gaussianprocessnode_tpu.infer.fitc import (
+        fit_sparse_gp, init_sparse_gp, sparse_predict)
+
+    data = toy_sinc_reference()
+    X, y = jnp.asarray(data.x_train), jnp.asarray(data.y_train)
+    Xu = _saved_xu("Xu_toyregression.jld")
+    out = {}
+    for method, ref in (("sor", 0.008066), ("fitc", 0.008064)):
+        t0 = time.time()
+        params, trace = fit_sparse_gp(
+            KERNEL, init_sparse_gp(invsoftplus(jnp.asarray([1.0, 1.0]))),
+            Xu, X, y, method=method, steps=steps, jitter=1e-8)
+        block_via_host(params)
+        mean, _ = sparse_predict(KERNEL, params, Xu,
+                                 jnp.asarray(data.x_test), X, y,
+                                 method=method, jitter=1e-8)
+        score = float(smse(data.y_test, np.asarray(mean)))
+        out[method] = score
+        if verbose:
+            print(f"[{method.upper()} toy regression] SMSE = {score:.6f} "
+                  f"(ref {ref}) nlml {float(trace[-1]):.2f} "
+                  f"wall {time.time()-t0:.1f}s")
+    return out
+
+
+def run_fitc_sor_kin40k(steps: int = 300, verbose: bool = True):
+    """The legacy notebook's kin40k run (cells 9-13): SEArd + learned noise
+    from the saved Xu_kin40k.jld. Its recorded SoR mll is −2414.13 after a
+    100 s LBFGS budget (the in-notebook trace shows −2323.67 converged);
+    mll = −nlml here, directly comparable."""
+    from gaussianprocessnode_tpu.infer.fitc import (
+        fit_sparse_gp, init_sparse_gp, sparse_nlml, sparse_predict)
+
+    data = kin40k()
+    dtype = jnp.float64
+    X = jnp.asarray(data.x_train, dtype)
+    y = jnp.asarray(data.y_train, dtype)
+    Xu = _saved_xu("Xu_kin40k.jld").astype(dtype)
+    Xt = jnp.asarray(data.x_test, dtype)
+    out = {}
+    for method in ("sor", "fitc"):
+        t0 = time.time()
+        params, trace = fit_sparse_gp(
+            KERNEL, init_sparse_gp(invsoftplus(jnp.ones(9, dtype))),
+            Xu, X, y, method=method, steps=steps, jitter=1e-6)
+        block_via_host(params)
+        train_s = time.time() - t0
+        mean, _ = sparse_predict(KERNEL, params, Xu, Xt, X, y,
+                                 method=method, jitter=1e-6)
+        score = float(smse(data.y_test, np.asarray(mean)))
+        mll = -float(trace[-1])
+        out[method] = {"smse": score, "mll": mll, "train_s": train_s}
+        if verbose:
+            ref = " (ref SoR mll -2414.13 @100s LBFGS, -2323.67 converged)" \
+                if method == "sor" else ""
+            print(f"[{method.upper()} kin40k] SMSE = {score:.6f} "
+                  f"mll {mll:.2f}{ref} wall {train_s:.1f}s")
+    return out
+
+
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
     which = which or ["toy_regression", "toy_classification"]
@@ -290,4 +354,6 @@ if __name__ == "__main__":
          "toy_classification": run_toy_classification,
          "kin40k": run_kin40k,
          "kin40k_collapsed": run_kin40k_collapsed,
+         "fitc_sor_toy": run_fitc_sor_toy,
+         "fitc_sor_kin40k": run_fitc_sor_kin40k,
          "banana": run_banana}[w]()

@@ -1,0 +1,123 @@
+"""SDE/state-space GP regression (infer/sde_gp.py) vs the dense Matérn-5/2
+GP — an EXACT equivalence, not an approximation.
+
+Reference: .ipynb_checkpoints/GPregress_SDE_M52-checkpoint.ipynb (Hartikainen
+& Särkkä state-space form, cells 1-2 define the same F/Qc/P∞; cells 8-10 the
+same workload shape: 2 sin t + cos 2t observed at 38 of 100 grid points,
+σ²=0.2). The SSM marginals must match the O(T³) dense posterior to f64
+round-off at EVERY timeline point — the strongest possible oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import multivariate_normal
+
+from gaussianprocessnode_tpu.infer.sde_gp import (
+    matern52_ssm,
+    sde_gp_nlml,
+    sde_gp_smooth,
+)
+from gaussianprocessnode_tpu.ops.kernels import Kernel
+
+KERNEL = Kernel("matern52", transform="identity")
+
+
+def _workload(T=100, seed=10, obs_var=0.2):
+    """The notebook's workload shape (cell 8), our own RNG draw."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0.0, 5.0, T)
+    f_true = 2.0 * np.sin(t) + np.cos(2.0 * t)
+    mask = np.zeros(T, bool)
+    mask[rng.permutation(T)[: T // 3]] = True
+    y = f_true + np.sqrt(obs_var) * rng.normal(size=T)
+    return jnp.asarray(t), jnp.asarray(y), jnp.asarray(mask), obs_var
+
+
+def _dense_posterior(theta, t, y, mask, obs_var):
+    """O(T³) Matérn-5/2 GP regression: posterior at ALL timeline points and
+    the marginal log-likelihood."""
+    t = np.asarray(t)[:, None]
+    to = t[np.asarray(mask)]
+    yo = np.asarray(y)[np.asarray(mask)]
+    Koo = np.asarray(KERNEL(theta, to, to)) + obs_var * np.eye(len(yo))
+    Kto = np.asarray(KERNEL(theta, t, to))
+    ktt = np.asarray(KERNEL.diag(theta, t))
+    sol = np.linalg.solve(Koo, yo)
+    mean = Kto @ sol
+    var = ktt - np.einsum("to,ot->t", Kto, np.linalg.solve(Koo, Kto.T))
+    ll = multivariate_normal.logpdf(yo, cov=Koo)
+    return mean, var, ll
+
+
+class TestStationaryCovariance:
+    def test_pinf_solves_lyapunov(self):
+        """The closed-form P∞ satisfies F P + P Fᵀ + L Qc Lᵀ = 0 — the
+        notebook's cell-2 construction, checked algebraically."""
+        theta = jnp.asarray([1.7, 0.6])
+        F, Pinf, _ = matern52_ssm(theta)
+        lam = np.sqrt(5.0) / float(theta[1])
+        Qc = 16.0 / 3.0 * float(theta[0]) * lam**5
+        L = np.array([0.0, 0.0, 1.0])
+        resid = np.asarray(F @ Pinf + Pinf @ F.T) + Qc * np.outer(L, L)
+        np.testing.assert_allclose(resid, 0.0, atol=1e-10)
+
+    def test_pinf_matches_kernel_derivatives(self):
+        """P∞[0,0] = k(0), P∞[1,1] = −k″(0), P∞[2,2] = k⁗(0) — via autodiff
+        of the kernel itself."""
+        theta = jnp.asarray([1.3, 0.9])
+        _, Pinf, _ = matern52_ssm(theta)
+        var, ell = float(theta[0]), float(theta[1])
+        lam = np.sqrt(5.0) / ell
+
+        def k(tau):  # smooth τ ≥ 0 branch of the Matérn-5/2
+            return var * (1 + lam * tau + lam**2 * tau**2 / 3) * jnp.exp(-lam * tau)
+
+        d2 = jax.grad(jax.grad(k))(0.0)
+        d4 = jax.grad(jax.grad(jax.grad(jax.grad(k))))(0.0)
+        np.testing.assert_allclose(float(Pinf[0, 0]), var, rtol=1e-12)
+        np.testing.assert_allclose(float(Pinf[1, 1]), -float(d2), rtol=1e-10)
+        np.testing.assert_allclose(float(Pinf[2, 2]), float(d4), rtol=1e-10)
+
+
+class TestDenseEquivalence:
+    def test_smoother_matches_dense_gp(self):
+        t, y, mask, obs_var = _workload()
+        theta = jnp.asarray([2.0, 1.0])  # the notebook's σ²=... θ=[1,1] scale
+        res = sde_gp_smooth(theta, t, y, mask, obs_var)
+        mean_d, var_d, ll_d = _dense_posterior(theta, t, y, mask, obs_var)
+        np.testing.assert_allclose(np.asarray(res.mean), mean_d,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.var), var_d,
+                                   rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(float(res.log_lik), ll_d, rtol=1e-10)
+
+    def test_irregular_timeline(self):
+        """Non-uniform Δt (the scan's A_k/Q_k are per-step)."""
+        rng = np.random.default_rng(3)
+        t = jnp.asarray(np.sort(rng.uniform(0.0, 4.0, size=60)))
+        y = jnp.asarray(np.sin(np.asarray(t)) + 0.1 * rng.normal(size=60))
+        mask = jnp.asarray(rng.uniform(size=60) < 0.5)
+        theta = jnp.asarray([0.8, 0.5])
+        res = sde_gp_smooth(theta, t, y, mask, 0.01)
+        mean_d, var_d, ll_d = _dense_posterior(theta, t, y, mask, 0.01)
+        np.testing.assert_allclose(np.asarray(res.mean), mean_d,
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(res.log_lik), ll_d, rtol=1e-9)
+
+
+class TestHyperparameterLearning:
+    def test_nlml_gradient_matches_dense_fd(self):
+        """∂NLML/∂θ through the whole scan == finite differences of the
+        dense marginal likelihood — θ learning the notebook lacks."""
+        t, y, mask, obs_var = _workload(T=40, seed=1)
+        theta = jnp.asarray([1.1, 0.8])
+        g = jax.grad(lambda th: sde_gp_nlml(th, t, y, mask, obs_var))(theta)
+        eps = 1e-6
+        for i in range(2):
+            e = np.zeros(2)
+            e[i] = eps
+            lp = _dense_posterior(theta + e, t, y, mask, obs_var)[2]
+            lm = _dense_posterior(theta - e, t, y, mask, obs_var)[2]
+            fd = -(lp - lm) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4)
