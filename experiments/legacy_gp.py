@@ -11,10 +11,15 @@ self-contained GP models, re-designed TPU-first:
                   regression as an O(T) Kalman/RTS `lax.scan`, exact vs the
                   dense posterior; plus gradient-based θ learning through
                   the scan (beyond the notebook).
+- fullcov         (regression_fullcov_CVI_UT-checkpoint.ipynb): dense GP
+                  with BAYESIAN hyperparameter inference — mean-field
+                  q(f)q(γ)q(θ), θ a Gaussian posterior updated by
+                  re-localized GH moment matching (the notebook's CVI/UT
+                  meta), γ a learned Gamma noise precision.
 - fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
   fitc_sor_kin40k) since they share its saved-Xu loaders.
 
-Usage: python experiments/legacy_gp.py [tprocess] [sde]
+Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov]
 """
 
 import os as _os
@@ -127,8 +132,38 @@ def run_sde(verbose: bool = True):
     return rmse1
 
 
+def run_fullcov(verbose: bool = True):
+    """The CVI/UT notebook's exact config (cells 3-6): N=100 sinc draw at
+    precision 100, Matérn-5/2, θ ~ N(log 4, 2), γ ~ Γ(0.01, 0.01),
+    50 VMP sweeps."""
+    from gaussianprocessnode_tpu.dists import gamma_mean
+    from gaussianprocessnode_tpu.infer.fullcov_gp import (
+        fullcov_gp_predict, fullcov_gp_vmp)
+
+    kernel = Kernel("matern52", transform="identity")
+    rng = np.random.default_rng(2)
+    x = np.sort(rng.uniform(-3.0, 3.0, size=100))
+    y = np.sinc(x) + rng.normal(size=100) * 0.1
+    xt = np.linspace(-3.1, 3.1, 200)
+    X, Y, Xt = jnp.asarray(x[:, None]), jnp.asarray(y), jnp.asarray(xt[:, None])
+    t0 = time.time()
+    state = fullcov_gp_vmp(kernel, X, Y, m_th0=float(np.log(4.0)),
+                           v_th0=2.0, iters=50)
+    mean, _ = fullcov_gp_predict(kernel, state, X, Xt)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sinc(xt)) ** 2)))
+    if verbose:
+        print(f"[full-cov Bayes-θ GP] q(θ): ℓ = {float(jnp.exp(state.m_th)):.3f} "
+              f"± {float(jnp.exp(state.m_th) * jnp.sqrt(state.v_th)):.3f} "
+              f"(init 4.0), q(γ) mean = {float(gamma_mean(state.gamma)):.1f} "
+              f"(generating precision 100), FE {float(state.fe[0]):.1f} → "
+              f"{float(state.fe[-1]):.1f}, test RMSE {rmse:.4f}, "
+              f"wall {time.time()-t0:.1f}s")
+    return rmse
+
+
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
-    which = which or ["tprocess", "sde"]
+    which = which or ["tprocess", "sde", "fullcov"]
     for w in which:
-        {"tprocess": run_tprocess, "sde": run_sde}[w]()
+        {"tprocess": run_tprocess, "sde": run_sde,
+         "fullcov": run_fullcov}[w]()
