@@ -16,10 +16,14 @@ self-contained GP models, re-designed TPU-first:
                   q(f)q(γ)q(θ), θ a Gaussian posterior updated by
                   re-localized GH moment matching (the notebook's CVI/UT
                   meta), γ a learned Gamma noise precision.
+- pad             (GPSSD_PAD-checkpoint.ipynb): GP probabilistic amplitude
+                  demodulation — parallel-EP smoother recovering a slow
+                  Matérn-5/2 log-envelope from a noise-carrier-modulated
+                  signal (its synthetic workload: σ_c = 2π/30, T=400).
 - fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
   fitc_sor_kin40k) since they share its saved-Xu loaders.
 
-Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov]
+Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad]
 """
 
 import os as _os
@@ -161,9 +165,38 @@ def run_fullcov(verbose: bool = True):
     return rmse
 
 
+def run_pad(verbose: bool = True):
+    """The PAD notebook's synthetic workload (cells 2-4): T=400 on [0,4],
+    carrier σ_c = 2π/30, slow log-envelope; EP demodulation."""
+    from gaussianprocessnode_tpu.infer.gppad import gppad_infer
+
+    rng = np.random.default_rng(1)
+    T = 400
+    t = np.linspace(0.0, 4.0, T)
+    f_true = 0.8 * np.sin(2.0 * np.pi * t / 4.0)
+    sigma_c = 2.0 * np.pi / 30.0
+    y = sigma_c * rng.normal(size=T) * np.exp(f_true)
+    t0 = time.time()
+    state = gppad_infer(jnp.asarray([1.0, 0.9]), jnp.asarray(t),
+                        jnp.asarray(y), carrier_var=sigma_c**2, iters=25)
+    m = np.asarray(state.mean)
+    corr = float(np.corrcoef(m, f_true)[0, 1])
+    err_pad = float(np.sqrt(np.mean(
+        (np.asarray(state.envelope) - np.exp(f_true)) ** 2)))
+    env_naive = np.abs(y) / (sigma_c * np.sqrt(2.0 / np.pi))
+    err_naive = float(np.sqrt(np.mean((env_naive - np.exp(f_true)) ** 2)))
+    if verbose:
+        print(f"[GP-PAD] corr(log-envelope, truth) = {corr:.3f}; envelope "
+              f"RMSE {err_pad:.4f} vs naive |y|-rescale {err_naive:.4f}; "
+              f"site movement {float(state.site_delta[0]):.2f} → "
+              f"{float(state.site_delta[-1]):.2e} over 25 EP sweeps, "
+              f"wall {time.time()-t0:.1f}s")
+    return corr
+
+
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
-    which = which or ["tprocess", "sde", "fullcov"]
+    which = which or ["tprocess", "sde", "fullcov", "pad"]
     for w in which:
         {"tprocess": run_tprocess, "sde": run_sde,
-         "fullcov": run_fullcov}[w]()
+         "fullcov": run_fullcov, "pad": run_pad}[w]()

@@ -1,0 +1,111 @@
+"""GP probabilistic amplitude demodulation (GP-PAD): recover a slow
+log-amplitude GP envelope from an amplitude-modulated signal.
+
+TPU-native equivalent of the reference's legacy PAD notebooks
+(``.ipynb_checkpoints/GPSSD_PAD-checkpoint.ipynb`` and variants): their
+model (cells 2-8) is
+
+    f ~ Matérn-5/2 GP (state-space form — the same F/P∞/A/Q chain as
+        infer/sde_gp.py, their cell 9),
+    y_t = c_t · exp(f_t),  carrier c_t ~ N(0, σ_c²)
+
+so marginally  p(y_t | f_t) = N(y_t; 0, σ_c² e^{2 f_t})  — a closed-form
+but non-Gaussian likelihood (the notebook routes it through a MyExponential
+→ LogNormal node chain with GH-131 products; here it is ONE exact log-pdf).
+
+Inference is an EP smoother over the chain: Gaussian sites (λ₁ₜ, λ₂ₜ)
+stand in for each likelihood; one outer iteration = a Kalman/RTS sweep
+with the sites as heteroscedastic pseudo-observations
+(:func:`sde_gp_smooth` — O(T), one `lax.scan` pair), then a vmapped GH
+tilt of every cavity against the EXACT likelihood and a damped site
+update. All sites update in parallel from one smoothing pass (parallel
+EP), so an iteration is a fixed sequence of scans + batched quadrature —
+TPU-shaped, no per-site sequential loop.
+
+The site update is branchless: non-PSD candidates (1/ṽ ≤ cavity
+precision) and NaN tilts keep the previous site, mirroring the repo-wide
+guard style.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quadrature import moment_match_uni
+from .sde_gp import sde_gp_smooth
+
+__all__ = ["PADState", "gppad_infer", "pad_loglik"]
+
+
+class PADState(NamedTuple):
+    mean: jax.Array  # (T,) smoothed posterior mean of the log-envelope f
+    var: jax.Array  # (T,) smoothed posterior variance of f
+    lam1: jax.Array  # (T,) site natural mean parameters
+    lam2: jax.Array  # (T,) site precisions
+    envelope: jax.Array  # (T,) E[e^f] = exp(mean + var/2)
+    site_delta: jax.Array  # per-iteration max |Δλ₂| trace (convergence)
+
+
+def pad_loglik(y, f, carrier_var):
+    """Exact log p(y | f) = log N(y; 0, σ_c² e^{2f}) for one point."""
+    v = carrier_var * jnp.exp(2.0 * f)
+    return -0.5 * (jnp.log(2.0 * jnp.pi * v) + y * y / v)
+
+
+@partial(jax.jit, static_argnames=("iters", "n_gh"))
+def gppad_infer(
+    theta,  # [σ² (GP variance), ℓ] of the Matérn-5/2 log-envelope prior
+    t,  # (T,) timeline
+    y,  # (T,) modulated observations
+    carrier_var: float = 1.0,  # σ_c² of the carrier (notebook's σ_c)
+    iters: int = 20,
+    damping: float = 0.5,
+    n_gh: int = 61,  # the notebook uses GH-131 for its products
+    lam2_floor: float = 1e-10,
+) -> PADState:
+    """Parallel-EP GP-PAD. Returns the smoothed log-envelope posterior and
+    the site trajectory diagnostics."""
+    t = jnp.asarray(t)
+    y = jnp.asarray(y, t.dtype)
+    T = y.shape[0]
+    dt = t.dtype
+
+    def sweep(carry, _):
+        lam1, lam2 = carry
+        # sites as heteroscedastic pseudo-observations; a floor keeps the
+        # smoother well-posed while mask kills no-information sites
+        r = 1.0 / jnp.maximum(lam2, lam2_floor)
+        z = lam1 * r
+        mask = lam2 > lam2_floor
+        res = sde_gp_smooth(theta, t, z, mask, r)
+        m, v = res.mean, res.var
+        # cavity: delete the site from the smoothed marginal
+        prec_cav = jnp.maximum(1.0 / v - lam2, 1e-12)
+        v_cav = 1.0 / prec_cav
+        m_cav = (m / v - lam1) * v_cav
+
+        # GH tilt of every cavity against the exact likelihood, in parallel
+        def tilt(mc, vc, yk):
+            return moment_match_uni(
+                lambda f: pad_loglik(yk, f, carrier_var), mc, vc, n=n_gh)
+
+        m_t, v_t = jax.vmap(tilt)(m_cav, v_cav, y)
+        lam2_new = 1.0 / v_t - prec_cav
+        lam1_new = m_t / v_t - m_cav * prec_cav
+        ok = jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new) & (lam2_new > 0)
+        lam1_new = jnp.where(ok, lam1_new, lam1)
+        lam2_new = jnp.where(ok, lam2_new, lam2)
+        lam1 = (1.0 - damping) * lam1 + damping * lam1_new
+        lam2 = (1.0 - damping) * lam2 + damping * lam2_new
+        delta = jnp.max(jnp.abs(lam2 - carry[1]))
+        return (lam1, lam2), delta
+
+    init = (jnp.zeros(T, dt), jnp.zeros(T, dt))
+    (lam1, lam2), deltas = jax.lax.scan(sweep, init, None, length=iters)
+    r = 1.0 / jnp.maximum(lam2, lam2_floor)
+    res = sde_gp_smooth(theta, t, lam1 * r, lam2 > lam2_floor, r)
+    return PADState(mean=res.mean, var=res.var, lam1=lam1, lam2=lam2,
+                    envelope=jnp.exp(res.mean + 0.5 * res.var),
+                    site_delta=deltas)

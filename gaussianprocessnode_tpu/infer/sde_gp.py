@@ -81,18 +81,21 @@ def sde_gp_smooth(theta, t, y, obs_mask, obs_var) -> SDEGPResult:
     """Exact GP regression on a 1-D timeline by Kalman + RTS smoothing.
 
     ``t``: (T,) increasing timeline; ``y``: (T,) observations (entries where
-    ``obs_mask`` is False are ignored); ``obs_var``: Gaussian noise variance.
+    ``obs_mask`` is False are ignored); ``obs_var``: Gaussian noise variance
+    — a scalar, or a (T,) array of PER-POINT variances (heteroscedastic
+    pseudo-observations, the form the GP-PAD EP loop feeds back).
     Returns smoothed (mean, var) of f at EVERY timeline point and the
     marginal log-likelihood Σ_obs log N(y_k; Hm⁻_k, HP⁻_kHᵀ + R).
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y, t.dtype)
     mask = jnp.asarray(obs_mask, t.dtype)
+    R = jnp.broadcast_to(jnp.asarray(obs_var, t.dtype), y.shape)
     F, Pinf, H = matern52_ssm(jnp.asarray(theta, t.dtype))
     A, Q = _discretize(F, Pinf, jnp.diff(t))
 
-    def update(m_pred, P_pred, yk, mk):
-        s = H @ P_pred @ H + obs_var
+    def update(m_pred, P_pred, yk, mk, rk):
+        s = H @ P_pred @ H + rk
         k_gain = (P_pred @ H) / s
         resid = yk - H @ m_pred
         m_upd = m_pred + k_gain * resid
@@ -104,18 +107,18 @@ def sde_gp_smooth(theta, t, y, obs_mask, obs_var) -> SDEGPResult:
 
     # t[0]: stationary prior N(0, P∞) (propagating from time 0 keeps P∞,
     # notebook cell 4's f_0 ~ MvN(0, P∞))
-    m0, P0, ll0 = update(jnp.zeros(3, t.dtype), Pinf, y[0], mask[0])
+    m0, P0, ll0 = update(jnp.zeros(3, t.dtype), Pinf, y[0], mask[0], R[0])
 
     def fwd(carry, inp):
         m, P, ll = carry
-        Ak, Qk, yk, mk = inp
+        Ak, Qk, yk, mk, rk = inp
         m_pred = Ak @ m
         P_pred = Ak @ P @ Ak.T + Qk
-        m_new, P_new, llk = update(m_pred, P_pred, yk, mk)
+        m_new, P_new, llk = update(m_pred, P_pred, yk, mk, rk)
         return (m_new, P_new, ll + llk), (m_new, P_new, m_pred, P_pred)
 
     (_, _, log_lik), (ms, Ps, mps, Pps) = jax.lax.scan(
-        fwd, (m0, P0, ll0), (A, Q, y[1:], mask[1:]))
+        fwd, (m0, P0, ll0), (A, Q, y[1:], mask[1:], R[1:]))
     # prepend the t[0] filtered state
     ms = jnp.concatenate([m0[None], ms])
     Ps = jnp.concatenate([P0[None], Ps])
