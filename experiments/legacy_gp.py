@@ -20,10 +20,15 @@ self-contained GP models, re-designed TPU-first:
                   demodulation — parallel-EP smoother recovering a slow
                   Matérn-5/2 log-envelope from a noise-carrier-modulated
                   signal (its synthetic workload: σ_c = 2π/30, T=400).
+- control         (GPSSM_realdata-checkpoint.ipynb's GPTransitionControl
+                  node): controlled GPSSM — x_t ~ GP([x_{t-1}; u_t]) with a
+                  known control signal, smoothed + filtered; the filter fed
+                  the true controls beats the same filter with zeroed
+                  controls.
 - fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
   fitc_sor_kin40k) since they share its saved-Xu loaders.
 
-Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad]
+Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad] [control]
 """
 
 import os as _os
@@ -194,9 +199,61 @@ def run_pad(verbose: bool = True):
     return corr
 
 
+def run_control(verbose: bool = True):
+    """Controlled pendulum (θ̈ = −4 sin θ − 0.3 θ̇ + u, strong sinusoid u):
+    train the controlled GPSSM on 150 steps, filter 30 test steps with the
+    true vs zeroed control signal."""
+    from gaussianprocessnode_tpu.dists import MvGaussianNat
+    from gaussianprocessnode_tpu.infer.gpssm_control import (
+        gpssm_control_vmp, one_step_ahead_control)
+
+    kernel = Kernel("se", transform="identity")
+    rng = np.random.default_rng(3)
+    T_train, T_test = 150, 30
+    T = T_train + T_test
+    us = 2.0 * np.sin(0.25 * np.arange(T))
+    xs = [np.array([0.5, 0.0])]
+    for t in range(T):
+        th, om = xs[-1]
+        xs.append(np.array([th + 0.1 * om,
+                            om + 0.1 * (-4 * np.sin(th) - 0.3 * om + us[t])]))
+    X = np.stack(xs)
+    ys = X[1:] + 0.05 * rng.normal(size=(T, 2))
+    rng2 = np.random.default_rng(7)
+    train_inputs = np.concatenate([X[:T_train], us[:T_train, None]], axis=1)
+    idx = np.linspace(0, T_train - 1, 30).astype(int)
+    Xu = jnp.asarray(train_inputs[idx] + 0.05 * rng2.normal(size=(30, 3)))
+    D, M = 2, 30
+    t0 = time.time()
+    state, fe = gpssm_control_vmp(
+        kernel, jnp.asarray([2.0, 1.5]), Xu, jnp.asarray(ys[:T_train]),
+        jnp.asarray(us[:T_train, None]), jnp.eye(D) * 2.5e-3,
+        prior_x0_mean=jnp.asarray(X[0]), prior_x0_cov=jnp.eye(D) * 0.1,
+        prior_v=MvGaussianNat(jnp.zeros(M * D), jnp.eye(M * D) / 50.0),
+        prior_W_df=100.0, prior_W_scale=jnp.eye(D), n_iters=10)
+    sm = float(np.sqrt(np.mean(
+        (np.asarray(state.x_means[1:]) - X[1:T_train + 1]) ** 2)))
+    args = (kernel, jnp.asarray([2.0, 1.5]), Xu, state,
+            jnp.asarray(ys[T_train:]))
+    pred, _ = one_step_ahead_control(
+        *args, jnp.asarray(us[T_train:, None]), jnp.eye(D) * 2.5e-3)
+    pred0, _ = one_step_ahead_control(
+        *args, jnp.zeros((T_test, 1)), jnp.eye(D) * 2.5e-3)
+    truth = X[T_train + 1:]
+    e1 = float(np.sqrt(np.mean((np.asarray(pred) - truth) ** 2)))
+    e0 = float(np.sqrt(np.mean((np.asarray(pred0) - truth) ** 2)))
+    if verbose:
+        print(f"[controlled GPSSM] smoothing RMSE {sm:.4f} (obs noise 0.05), "
+              f"FE {float(fe):.1f}; 1-step-ahead RMSE {e1:.4f} with true "
+              f"controls vs {e0:.4f} zeroed ({e1/e0:.2f}×), "
+              f"wall {time.time()-t0:.1f}s")
+    return e1, e0
+
+
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
-    which = which or ["tprocess", "sde", "fullcov", "pad"]
+    which = which or ["tprocess", "sde", "fullcov", "pad", "control"]
     for w in which:
         {"tprocess": run_tprocess, "sde": run_sde,
-         "fullcov": run_fullcov, "pad": run_pad}[w]()
+         "fullcov": run_fullcov, "pad": run_pad,
+         "control": run_control}[w]()
