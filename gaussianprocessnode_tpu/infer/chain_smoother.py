@@ -344,19 +344,43 @@ def filter_frozen(state: GPSSMState, P) -> GPSSMFilterFrozen:
     )
 
 
+CTRL_EPS = 1e-30  # ε variance on known-control input dims (gpssm_control)
+
+
+def augment_control(m, V, u, eps: float = CTRL_EPS):
+    """[m; u] mean and blkdiag(V, ε·I) covariance for ONE input marginal —
+    the known-control augmentation (see infer/gpssm_control.py): ε far
+    below round-off relevance, so σ-point spread on control dims is √ε."""
+    D, Dc = m.shape[0], u.shape[0]
+    m_a = jnp.concatenate([m, u])
+    V_a = jnp.zeros((D + Dc, D + Dc), m.dtype)
+    V_a = V_a.at[:D, :D].set(V)
+    V_a = V_a.at[D:, D:].set(eps * jnp.eye(Dc, dtype=m.dtype))
+    return m_a, V_a
+
+
 @partial(jax.jit, static_argnames=("kernel",))
-def filter_stream(kernel, theta, Xu, frozen: GPSSMFilterFrozen, ys, carry):
+def filter_stream(kernel, theta, Xu, frozen: GPSSMFilterFrozen, ys, carry,
+                  us=None):
     """One filtering window, CHAINABLE: predict/update each observation from
     ``carry`` = the previous filtered marginal (mean, cov), returning the
     final carry so consecutive windows continue exactly where the last ended
     (filter_stream(ys[:k]) then filter_stream(ys[k:], carry) ≡
-    filter_stream(ys)). Returns (pred_means, pred_covs, carry)."""
+    filter_stream(ys)). ``us``: optional (T, Dc) known controls — the
+    prediction then evaluates Ψ1 at the control-augmented marginal
+    (controlled GPSSM; Xu must live in D+Dc dims).
+    Returns (pred_means, pred_covs, carry)."""
     sr = quad.SphericalRadial()
 
-    def step(c, y):
+    def step(c, inp):
         m_prev, V_prev = c
+        if us is None:
+            y, (m_in, V_in) = inp, (m_prev, V_prev)
+        else:
+            y, u = inp
+            m_in, V_in = augment_control(m_prev, V_prev, u)
         # PredictState = MultiSGP :out rule from the previous marginal
-        psi1 = psiops.psi1_expected_multi(kernel, theta, Xu, sr, m_prev, V_prev)
+        psi1 = psiops.psi1_expected_multi(kernel, theta, Xu, sr, m_in, V_in)
         pred_mean = frozen.mu_blocks @ psi1
         # UpdateState = product with the MvN observation message N(y, P)
         prec = frozen.pred_prec + frozen.P_inv
@@ -364,7 +388,8 @@ def filter_stream(kernel, theta, Xu, frozen: GPSSMFilterFrozen, ys, carry):
         mean = cov @ (frozen.pred_prec @ pred_mean + frozen.P_inv @ y)
         return (mean, cov), (pred_mean, frozen.pred_cov)
 
-    carry, (pred_means, pred_covs) = jax.lax.scan(step, carry, ys)
+    xs = ys if us is None else (ys, us)
+    carry, (pred_means, pred_covs) = jax.lax.scan(step, carry, xs)
     return pred_means, pred_covs, carry
 
 

@@ -57,8 +57,9 @@ class FullCovState(NamedTuple):
 
 
 def _theta_stats(kernel, X, m_th, v_th, n_sigma, jitter):
-    """E_q(θ)[K(e^θ)⁻¹] and E_q(θ)[log det K(e^θ)] by GH sigma points, plus
-    the per-point (Kinv_j, logdet_j, w_j) for reuse in the θ-message."""
+    """E_q(θ)[K(e^θ)⁻¹] and E_q(θ)[log det K(e^θ)] by GH sigma points of
+    q(θ). (The θ-message's own GH-21 grid is built independently inside
+    moment_match_uni — it is NOT this grid.)"""
     pts, w = gh_points_weights(n_sigma, m_th, v_th)
 
     def one(th):
@@ -72,11 +73,11 @@ def _theta_stats(kernel, X, m_th, v_th, n_sigma, jitter):
     Kinvs, logdets = jax.vmap(one)(pts)
     Kinv_bar = jnp.einsum("j,jab->ab", w, Kinvs)
     logdet_bar = w @ logdets
-    return Kinv_bar, logdet_bar, pts, w
+    return Kinv_bar, logdet_bar
 
 
 @partial(jax.jit, static_argnames=("kernel", "iters", "n_sigma", "n_gh",
-                                   "jitter"))
+                                   "jitter", "compute_fe"))
 def fullcov_gp_vmp(
     kernel,
     X,  # (N, D) training inputs
@@ -88,9 +89,14 @@ def fullcov_gp_vmp(
     n_sigma: int = 9,  # GH points for E over q(θ)
     n_gh: int = 21,  # GH points for the θ product (the repo-wide GH-21)
     jitter: float = 1e-8,
+    compute_fe: bool = True,
 ) -> FullCovState:
     """Mean-field VMP for the (f, γ, θ) full-covariance model. Returns the
-    final state with the per-sweep free-energy trace."""
+    final state with the per-sweep free-energy trace.
+
+    ``compute_fe=False`` skips the trace (zeros): evaluating FE at the
+    sweep's UPDATED q(θ) needs a second n_sigma-batched N×N
+    Cholesky+inverse pass, roughly doubling per-sweep cost."""
     y = jnp.asarray(y)
     N = y.shape[0]
     dt = y.dtype
@@ -101,7 +107,7 @@ def fullcov_gp_vmp(
     def sweep(carry, _):
         m_f, V_f, q_g, m_th, v_th = carry
         # --- q(f): conjugate Gaussian given E[K⁻¹] and γ̄ ---
-        Kinv_bar, logdet_bar, _, _ = _theta_stats(
+        Kinv_bar, logdet_bar = _theta_stats(
             kernel, X, m_th, v_th, n_sigma, jitter)
         gbar = gamma_mean(q_g)
         prec = Kinv_bar + gbar * eyeN
@@ -131,21 +137,23 @@ def fullcov_gp_vmp(
 
         # --- Bethe free energy (up to θ-entropy-free constants):
         # E[-log p(y|f,γ)] + E[-log p(f|θ)] + KL-ish prior terms − entropies
-        Kinv_bar, logdet_bar, pts, w = _theta_stats(
-            kernel, X, m_th, v_th, n_sigma, jitter)
-        e_lik = 0.5 * (gbar * resid2 - N * glog + N * jnp.log(2 * jnp.pi))
-        e_f = 0.5 * (logdet_bar + jnp.sum(Kinv_bar * S)
-                     + N * jnp.log(2 * jnp.pi))
-        e_g = (-a0 * jnp.log(b0) + jax.lax.lgamma(a0)
-               - (a0 - 1.0) * glog + b0 * gbar)
-        e_th = 0.5 * (jnp.log(2 * jnp.pi * v0)
-                      + (v_th + (m_th - m0) ** 2) / v0)
-        h_f = 0.5 * (N * (1 + jnp.log(2 * jnp.pi))
-                     - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lp))))
-        h_g = (q_g.shape - jnp.log(q_g.rate) + jax.lax.lgamma(q_g.shape)
-               + (1.0 - q_g.shape) * jax.scipy.special.digamma(q_g.shape))
-        h_th = 0.5 * jnp.log(2 * jnp.pi * jnp.e * v_th)
-        fe = e_lik + e_f + e_g + e_th - h_f - h_g - h_th
+        fe = jnp.zeros((), dt)
+        if compute_fe:
+            Kinv_bar, logdet_bar = _theta_stats(
+                kernel, X, m_th, v_th, n_sigma, jitter)
+            e_lik = 0.5 * (gbar * resid2 - N * glog + N * jnp.log(2 * jnp.pi))
+            e_f = 0.5 * (logdet_bar + jnp.sum(Kinv_bar * S)
+                         + N * jnp.log(2 * jnp.pi))
+            e_g = (-a0 * jnp.log(b0) + jax.lax.lgamma(a0)
+                   - (a0 - 1.0) * glog + b0 * gbar)
+            e_th = 0.5 * (jnp.log(2 * jnp.pi * v0)
+                          + (v_th + (m_th - m0) ** 2) / v0)
+            h_f = 0.5 * (N * (1 + jnp.log(2 * jnp.pi))
+                         - 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lp))))
+            h_g = (q_g.shape - jnp.log(q_g.rate) + jax.lax.lgamma(q_g.shape)
+                   + (1.0 - q_g.shape) * jax.scipy.special.digamma(q_g.shape))
+            h_th = 0.5 * jnp.log(2 * jnp.pi * jnp.e * v_th)
+            fe = e_lik + e_f + e_g + e_th - h_f - h_g - h_th
         return (m_f, V_f, q_g, m_th, v_th), fe
 
     init = (jnp.zeros(N, dt), eyeN,

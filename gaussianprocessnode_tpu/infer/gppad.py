@@ -81,8 +81,15 @@ def gppad_infer(
         mask = lam2 > lam2_floor
         res = sde_gp_smooth(theta, t, z, mask, r)
         m, v = res.mean, res.var
-        # cavity: delete the site from the smoothed marginal
-        prec_cav = jnp.maximum(1.0 / v - lam2, 1e-12)
+        # cavity: delete the site from the smoothed marginal. A site whose
+        # precision has crept up to the marginal's (raw cavity precision
+        # ≤ 0 under rounding) has no valid cavity: clamping alone would
+        # inflate m_cav by the clamp factor (~1e12) and the finite-moments
+        # guard below could NOT catch it — so such sites are frozen this
+        # sweep via cav_ok.
+        raw_prec_cav = 1.0 / v - lam2
+        cav_ok = raw_prec_cav > 1e-12
+        prec_cav = jnp.maximum(raw_prec_cav, 1e-12)
         v_cav = 1.0 / prec_cav
         m_cav = (m / v - lam1) * v_cav
 
@@ -94,7 +101,8 @@ def gppad_infer(
         m_t, v_t = jax.vmap(tilt)(m_cav, v_cav, y)
         lam2_new = 1.0 / v_t - prec_cav
         lam1_new = m_t / v_t - m_cav * prec_cav
-        ok = jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new) & (lam2_new > 0)
+        ok = (cav_ok & jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new)
+              & (lam2_new > 0))
         lam1_new = jnp.where(ok, lam1_new, lam1)
         lam2_new = jnp.where(ok, lam2_new, lam2)
         lam1 = (1.0 - damping) * lam1 + damping * lam1_new

@@ -39,26 +39,20 @@ from ..ops.linalg import chol_lower, chol_solve, cholinv, sum_blocks_weighted, s
 from .chain_smoother import (
     GPSSMState,
     _qv_stats,
+    augment_control,
     chain_fe_terms,
     chain_qv_qw_updates,
     filter_frozen,
+    filter_stream,
 )
 
 __all__ = ["gpssm_control_vmp", "gpssm_control_free_energy",
            "one_step_ahead_control"]
 
-_CTRL_EPS = 1e-30  # ε variance on control dims: exactly-known inputs
-
-
 def _augment(means, covs, us):
-    """[m; u] means and blkdiag(V, ε·I) covariances, batched over t."""
-    T, D = means.shape
-    Dc = us.shape[1]
-    m = jnp.concatenate([means, us], axis=-1)
-    V = jnp.zeros((T, D + Dc, D + Dc), means.dtype)
-    V = V.at[:, :D, :D].set(covs)
-    V = V.at[:, D:, D:].set(_CTRL_EPS * jnp.eye(Dc, dtype=means.dtype))
-    return m, V
+    """[m; u] means and blkdiag(V, ε·I) covariances, batched over t (the
+    vmapped :func:`~.chain_smoother.augment_control`)."""
+    return jax.vmap(augment_control)(means, covs, us)
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "compute_fe"))
@@ -183,23 +177,11 @@ def one_step_ahead_control(kernel, theta, Xu, state: GPSSMState, ys_test,
                            us_test, P):
     """Predict/update filtering over a test window with KNOWN controls
     (the realdata notebook's validation loop): the MultiSGP :out rule at
-    [m_prev; u_t], then the Gaussian observation update."""
+    [m_prev; u_t], then the Gaussian observation update — a thin view of
+    :func:`~.chain_smoother.filter_stream` with ``us`` (ONE filter
+    implementation; chain windows via filter_stream directly)."""
     frozen = filter_frozen(state, P)
-    sr = quad.SphericalRadial()
-    D = P.shape[0]
-
-    def step(c, inp):
-        m_prev, V_prev = c
-        y, u = inp
-        m_aug, V_aug = _augment(m_prev[None], V_prev[None], u[None])
-        psi1 = psiops.psi1_expected_multi(
-            kernel, theta, Xu, sr, m_aug[0], V_aug[0])
-        pred_mean = frozen.mu_blocks @ psi1
-        prec = frozen.pred_prec + frozen.P_inv
-        cov = cholinv(sym(prec))
-        mean = cov @ (frozen.pred_prec @ pred_mean + frozen.P_inv @ y)
-        return (mean, cov), (pred_mean, frozen.pred_cov)
-
-    (_, _), (pred_means, pred_covs) = jax.lax.scan(
-        step, (state.x_means[-1], state.x_covs[-1]), (ys_test, us_test))
+    pred_means, pred_covs, _ = filter_stream(
+        kernel, theta, Xu, frozen, ys_test,
+        (state.x_means[-1], state.x_covs[-1]), us=us_test)
     return pred_means, pred_covs
