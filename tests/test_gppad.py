@@ -100,3 +100,61 @@ class TestEnvelopeRecovery:
                                    - np.exp(f_true)) ** 2))
         err_naive = np.sqrt(np.mean((env_naive - np.exp(f_true)) ** 2))
         assert err_pad < 0.5 * err_naive, (err_pad, err_naive)
+
+
+class TestColoredCarrier:
+    """GPSSD_PAD_2: the carrier is itself a (fast) Matérn-5/2 GP."""
+
+    def _draw(self, T=500, seed=5):
+        """The PAD_2 notebook's workload shape (cell 3): T=500 on [0,5],
+        carrier ℓ=0.05, envelope ℓ=0.8, exact dense GP draws."""
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0.0, 5.0, T)
+        th_f = jnp.asarray([0.4, 0.8])
+        th_c = jnp.asarray([1.0, 0.05])
+        Kf = np.asarray(KERNEL(th_f, t[:, None], t[:, None])) + 1e-9 * np.eye(T)
+        Kc = np.asarray(KERNEL(th_c, t[:, None], t[:, None])) + 1e-9 * np.eye(T)
+        f_true = np.linalg.cholesky(Kf) @ rng.normal(size=T)
+        c_true = np.linalg.cholesky(Kc) @ rng.normal(size=T)
+        y = c_true * np.exp(f_true)
+        return t, y, f_true, c_true, th_f, th_c
+
+    def test_two_stage_tilt_vs_numeric_integration(self):
+        """two_stage_tilt(colored_pad_loglik) == quadrature of the exact
+        E_q(c)-marginalized integrand. A single cavity-scaled GH pass was
+        measured 0.04 off in the mean at this sharpness (σ_y² = 1e-2) —
+        the re-localized second pass is what resolves it."""
+        from gaussianprocessnode_tpu.infer.gppad import (
+            colored_pad_loglik, two_stage_tilt)
+
+        m, v, y, mc, vc, ov = 0.2, 0.6, 1.1, 0.7, 0.3, 1e-2
+        mt, vt = two_stage_tilt(
+            lambda f: colored_pad_loglik(y, f, mc, vc, ov),
+            jnp.asarray(m), jnp.asarray(v), n=61)
+        grid = np.linspace(m - 12 * np.sqrt(v), m + 12 * np.sqrt(v), 200001)
+        g = np.exp(grid)
+        ll = (y * mc * g - 0.5 * (mc**2 + vc) * g**2) / ov
+        integ = (np.exp(-(grid - m) ** 2 / (2 * v)) * np.exp(ll - ll.max()))
+        Z = np.trapezoid(integ, grid)
+        m_num = np.trapezoid(grid * integ, grid) / Z
+        v_num = np.trapezoid((grid - m_num) ** 2 * integ, grid) / Z
+        np.testing.assert_allclose(float(mt), m_num, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(float(vt), v_num, rtol=5e-3, atol=1e-6)
+
+    def test_recovers_envelope_and_carrier(self):
+        """Measured: corr_f 0.86, corr_c 0.87, reconstruction 0.5 % rel —
+        the f/c split has an inherent slow-component trade, so correlations
+        plateau below the white-carrier case while the product is pinned."""
+        from gaussianprocessnode_tpu.infer.gppad import gppad_colored_infer
+
+        t, y, f_true, c_true, th_f, th_c = self._draw()
+        state = gppad_colored_infer(th_f, th_c, jnp.asarray(t),
+                                    jnp.asarray(y), obs_var=1e-3, iters=40)
+        corr_f = np.corrcoef(np.asarray(state.f_mean), f_true)[0, 1]
+        corr_c = np.corrcoef(np.asarray(state.c_mean), c_true)[0, 1]
+        assert corr_f > 0.8, corr_f
+        assert corr_c > 0.8, corr_c
+        # reconstruction: E[c]·E[e^f] tracks the clean signal
+        recon = np.asarray(state.c_mean) * np.asarray(state.envelope)
+        rel = np.sqrt(np.mean((recon - y) ** 2)) / np.sqrt(np.mean(y**2))
+        assert rel < 0.05, rel
