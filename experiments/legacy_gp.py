@@ -23,6 +23,11 @@ self-contained GP models, re-designed TPU-first:
 - pad2            (GPSSD_PAD_2-checkpoint.ipynb): colored-carrier PAD —
                   the carrier is itself a fast Matérn-5/2 GP; alternating
                   exact Kalman c-sweep + re-localized two-stage GH tilt.
+- padlearn        (LearnParamsGPSDE / LearnParams_PAD2 / GPPAD_mixture
+                  checkpoints): hyperparameter LEARNING over the SDE-GP/PAD
+                  families — Bayesian q(log ℓ) by evidence-tilted moment
+                  matching, EP-EM / variational-EM point learning, and an
+                  evidence-weighted model bank (infer/pad_learn.py).
 - control         (GPSSM_realdata-checkpoint.ipynb's GPTransitionControl
                   node): controlled GPSSM — x_t ~ GP([x_{t-1}; u_t]) with a
                   known control signal, smoothed + filtered; the filter fed
@@ -31,7 +36,8 @@ self-contained GP models, re-designed TPU-first:
 - fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
   fitc_sor_kin40k) since they share its saved-Xu loaders.
 
-Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad] [pad2] [control]
+Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad]
+       [pad2] [padlearn] [control]
 """
 
 import os as _os
@@ -233,6 +239,81 @@ def run_pad2(verbose: bool = True):
     return rel
 
 
+def run_padlearn(verbose: bool = True):
+    """The three legacy LEARNING notebooks over the SDE-GP/PAD families
+    (LearnParamsGPSDE, LearnParams_PAD2, GPPAD_mixture — infer/pad_learn.py):
+    Bayesian lengthscale posterior on the PAD model, EP-EM point learning of
+    the white-carrier θ, variational EM for the colored lengthscales, and an
+    evidence-weighted 3-model bank."""
+    from gaussianprocessnode_tpu.infer.pad_learn import (
+        fit_gppad_colored_theta, fit_gppad_theta, gppad_bayes_lengthscale,
+        gppad_mixture)
+
+    kernel = Kernel("matern52", transform="identity")
+    rng = np.random.default_rng(13)
+    T = 300
+    t = np.linspace(0.0, 4.0, T)
+    ell_true = 0.9
+    Kf = np.asarray(kernel(jnp.asarray([1.0, ell_true]),
+                           t[:, None], t[:, None])) + 1e-10 * np.eye(T)
+    f_true = np.linalg.cholesky(Kf) @ np.random.default_rng(14).normal(size=T)
+    y = 0.3 * rng.normal(size=T) * np.exp(f_true)
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+
+    t0 = time.time()
+    bay = gppad_bayes_lengthscale(tj, yj, carrier_var=0.09, iters=6,
+                                  ep_iters=15)
+    t_bay = time.time() - t0
+    t0 = time.time()
+    em = fit_gppad_theta(tj, yj, theta0=jnp.asarray([0.5, 0.35]),
+                         carrier_var=0.09, epochs=30, ep_iters=10)
+    t_em = time.time() - t0
+    t0 = time.time()
+    mix = gppad_mixture(jnp.asarray([[1.0, 0.9], [1.0, 0.15], [1.0, 4.0]]),
+                        tj, yj, carrier_vars=jnp.asarray([0.09] * 3),
+                        iters=25)
+    t_mix = time.time() - t0
+
+    # colored variational EM on the PAD_2 workload shape
+    rng2 = np.random.default_rng(9)
+    T2 = 400
+    t2 = np.linspace(0.0, 5.0, T2)
+    Kf2 = np.asarray(kernel(jnp.asarray([0.4, 0.8]),
+                            t2[:, None], t2[:, None])) + 1e-10 * np.eye(T2)
+    Kc2 = np.asarray(kernel(jnp.asarray([1.0, 0.05]),
+                            t2[:, None], t2[:, None])) + 1e-10 * np.eye(T2)
+    f2 = np.linalg.cholesky(Kf2) @ np.random.default_rng(21).normal(size=T2)
+    c2 = np.linalg.cholesky(Kc2) @ np.random.default_rng(22).normal(size=T2)
+    y2 = c2 * np.exp(f2) + np.sqrt(1e-3) * rng2.normal(size=T2)
+    t0 = time.time()
+    cem = fit_gppad_colored_theta(jnp.asarray(t2), jnp.asarray(y2),
+                                  ell0=jnp.asarray([0.3, 0.1]),
+                                  var_f=0.4, var_c=1.0, epochs=12)
+    t_cem = time.time() - t0
+
+    m_s, v_s = float(bay.m_s), float(bay.v_s)
+    if verbose:
+        print(f"[PAD learning] Bayesian q(log ℓ) = N({m_s:.3f}, {v_s:.3f}) "
+              f"vs log ℓ_true = {np.log(ell_true):.3f} (prior var 10 → "
+              f"{v_s:.3f}), wall {t_bay:.1f}s")
+        print(f"[PAD learning] EP-EM θ: [σ², ℓ] = "
+              f"[{float(em.theta[0]):.3f}, {float(em.theta[1]):.3f}] from "
+              f"[0.5, 0.35] (truth ℓ {ell_true}); evidence "
+              f"{float(em.evidence[0]):.1f} → {float(em.evidence[-1]):.1f}, "
+              f"wall {t_em:.1f}s")
+        print(f"[PAD learning] colored EM ℓ = "
+              f"[{float(cem.theta[0]):.3f}, {float(cem.theta[1]):.3f}] from "
+              f"[0.3, 0.1] (truth [0.8, 0.05]); ELBO "
+              f"{float(cem.evidence[0]):.1f} → {float(cem.evidence[-1]):.1f}, "
+              f"wall {t_cem:.1f}s")
+        resp = np.asarray(mix.resp)
+        print(f"[PAD learning] 3-model bank responsibilities {resp.round(4)} "
+              f"(truth is model 0; EP-evidence and ELBO rankings "
+              f"{'agree' if int(np.argmax(resp)) == int(np.argmax(np.asarray(mix.elbo))) else 'DISAGREE'}), "
+              f"wall {t_mix:.1f}s")
+    return m_s, float(em.theta[1]), resp
+
+
 def run_control(verbose: bool = True):
     """Controlled pendulum (θ̈ = −4 sin θ − 0.3 θ̇ + u, strong sinusoid u):
     train the controlled GPSSM on 150 steps, filter 30 test steps with the
@@ -286,8 +367,10 @@ def run_control(verbose: bool = True):
 
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
-    which = which or ["tprocess", "sde", "fullcov", "pad", "pad2", "control"]
+    which = which or ["tprocess", "sde", "fullcov", "pad", "pad2",
+                      "padlearn", "control"]
     for w in which:
         {"tprocess": run_tprocess, "sde": run_sde,
          "fullcov": run_fullcov, "pad": run_pad, "pad2": run_pad2,
+         "padlearn": run_padlearn,
          "control": run_control}[w]()

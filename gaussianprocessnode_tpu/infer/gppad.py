@@ -37,7 +37,8 @@ from ..ops.quadrature import moment_match_uni
 from .sde_gp import sde_gp_smooth
 
 __all__ = ["PADState", "gppad_infer", "pad_loglik",
-           "ColoredPADState", "gppad_colored_infer", "colored_pad_loglik"]
+           "ColoredPADState", "gppad_colored_infer", "colored_pad_loglik",
+           "colored_pad_sweep", "two_stage_tilt"]
 
 
 class PADState(NamedTuple):
@@ -65,6 +66,7 @@ def gppad_infer(
     damping: float = 0.5,
     n_gh: int = 61,  # the notebook uses GH-131 for its products
     lam2_floor: float = 1e-10,
+    sites0=None,  # optional (lam1, lam2) warm start — EP-EM re-runs
 ) -> PADState:
     """Parallel-EP GP-PAD. Returns the smoothed log-envelope posterior and
     the site trajectory diagnostics."""
@@ -100,10 +102,21 @@ def gppad_infer(
                 lambda f: pad_loglik(yk, f, carrier_var), mc, vc, n=n_gh)
 
         m_t, v_t = jax.vmap(tilt)(m_cav, v_cav, y)
+        # derivative-safe floor: tilted variances below 1e-13 would be
+        # rejected anyway (1/v_t > 1e13 ≥ the 1e12 ceiling below), but
+        # their UNCLAMPED reciprocal has an unbounded derivative that
+        # poisons the rejection-where's VJP (0·inf = NaN) — the EP-EM
+        # trainers (infer/pad_learn.py) differentiate through this sweep.
+        v_t = jnp.maximum(v_t, 1e-13)
         lam2_new = 1.0 / v_t - prec_cav
         lam1_new = m_t / v_t - m_cav * prec_cav
+        # the 1e12 ceiling mirrors the reference's clamp(·, 1e-12, 1e12)
+        # on its energy terms (UniSGPnode.jl:189-190): under θ badly
+        # mismatched to the data the site loop has a positive feedback
+        # (sharper pseudo-obs → sharper tilt) measured to run precisions
+        # to 1e53, where the evidence/ELBO cross-terms lose all precision
         ok = (cav_ok & jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new)
-              & (lam2_new > 0))
+              & (lam2_new > 0) & (lam2_new < 1e12))
         lam1_new = jnp.where(ok, lam1_new, lam1)
         lam2_new = jnp.where(ok, lam2_new, lam2)
         lam1 = (1.0 - damping) * lam1 + damping * lam1_new
@@ -111,7 +124,10 @@ def gppad_infer(
         delta = jnp.max(jnp.abs(lam2 - carry[1]))
         return (lam1, lam2), delta
 
-    init = (jnp.zeros(T, dt), jnp.zeros(T, dt))
+    if sites0 is None:
+        init = (jnp.zeros(T, dt), jnp.zeros(T, dt))
+    else:
+        init = (jnp.asarray(sites0[0], dt), jnp.asarray(sites0[1], dt))
     (lam1, lam2), deltas = jax.lax.scan(sweep, init, None, length=iters)
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
     res = sde_gp_smooth(theta, t, lam1 * r, lam2 > lam2_floor, r)
@@ -127,6 +143,8 @@ class ColoredPADState(NamedTuple):
     c_var: jax.Array  # (T,)
     envelope: jax.Array  # (T,) E[e^f]
     site_delta: jax.Array  # per-outer-iteration max |Δλ₂| on the f-sites
+    lam1: jax.Array  # (T,) f-site natural mean parameters (EP-EM warm starts)
+    lam2: jax.Array  # (T,) f-site precisions
 
 
 def colored_pad_loglik(y, f, mc, vc, obs_var):
@@ -146,11 +164,70 @@ def two_stage_tilt(ll, m, v, n: int = 61):
     product on a grid centered there via the importance identity
     q₁·exp(ll + log N_cav − log N_q₁) ∝ N_cav·exp(ll)."""
     m1, v1 = moment_match_uni(ll, m, v, n=n)
+    # derivative-safe floor on the pass-1 variance: a near-delta likelihood
+    # can collapse the product onto ONE GH node (measured v1 ~ 1e-179 at
+    # σ_y² = 1e-3 with a strong carrier), and pass 2's re-localization term
+    # (f−m1)²/(2v1) then divides by v1² in the VJP — under/overflow → NaN
+    # for every consumer that differentiates through the tilt
+    # (infer/pad_learn.py's EP-EM). Sites this sharp produce λ₂ ≥ 1e12 and
+    # are rejected by the site-update ceiling regardless, so the floor
+    # never changes an accepted update.
+    v1 = jnp.maximum(v1, 1e-12)
 
     def ll2(f):
         return ll(f) - (f - m) ** 2 / (2.0 * v) + (f - m1) ** 2 / (2.0 * v1)
 
     return moment_match_uni(ll2, m1, v1, n=n)
+
+
+def colored_pad_sweep(theta_f, theta_c, t, y, sites, obs_var=1e-3,
+                      damping: float = 0.5, n_gh: int = 61,
+                      lam2_floor: float = 1e-10):
+    """ONE outer iteration of the colored-carrier mean-field loop:
+    f-moments at the current sites → exact q(c) chain sweep → one damped
+    parallel-EP f-site update. ``sites`` is the ``(lam1, lam2)`` pair; the
+    return is the updated pair. Exposed as a standalone map so the EP-EM
+    trainer (infer/pad_learn.py) can differentiate its FIXED POINT
+    implicitly instead of back-propagating through a truncated sweep
+    stack — see pad_learn._fixed_point."""
+    lam1, lam2 = sites
+    T = y.shape[0]
+    ones = jnp.ones(T, bool)
+    # --- f-moments at the current sites (empty sites → the f prior) ---
+    r = 1.0 / jnp.maximum(lam2, lam2_floor)
+    mask = lam2 > lam2_floor
+    resf = sde_gp_smooth(theta_f, t, lam1 * r, mask, r)
+    m, v = resf.mean, resf.var
+    # --- q(c): exact conjugate chain sweep given the envelope moments ---
+    Eg = jnp.exp(m + 0.5 * v)
+    Eg2 = jnp.exp(2.0 * m + 2.0 * v)
+    resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2)
+    mc, vc = resc.mean, resc.var
+
+    # --- q(f): one damped parallel-EP sweep at the new q(c) ---
+    raw_prec_cav = 1.0 / v - lam2
+    cav_ok = raw_prec_cav > 1e-12
+    prec_cav = jnp.maximum(raw_prec_cav, 1e-12)
+    v_cav = 1.0 / prec_cav
+    m_cav = (m / v - lam1) * v_cav
+
+    def tilt(mcav, vcav, yk, mck, vck):
+        return two_stage_tilt(
+            lambda f: colored_pad_loglik(yk, f, mck, vck, obs_var),
+            mcav, vcav, n=n_gh)
+
+    m_t, v_t = jax.vmap(tilt)(m_cav, v_cav, y, mc, vc)
+    # same derivative-safe floor as gppad_infer's sweep (see there)
+    v_t = jnp.maximum(v_t, 1e-13)
+    lam2_new = 1.0 / v_t - prec_cav
+    lam1_new = m_t / v_t - m_cav * prec_cav
+    # same 1e12 site-precision ceiling as gppad_infer (see there)
+    ok = (cav_ok & jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new)
+          & (lam2_new > 0) & (lam2_new < 1e12))
+    lam1_new = jnp.where(ok, lam1_new, lam1)
+    lam2_new = jnp.where(ok, lam2_new, lam2)
+    return ((1.0 - damping) * lam1 + damping * lam1_new,
+            (1.0 - damping) * lam2 + damping * lam2_new)
 
 
 @partial(jax.jit, static_argnames=("iters", "n_gh"))
@@ -164,6 +241,7 @@ def gppad_colored_infer(
     damping: float = 0.5,
     n_gh: int = 61,
     lam2_floor: float = 1e-10,
+    sites0=None,  # optional (lam1, lam2) f-site warm start — EP-EM re-runs
 ) -> ColoredPADState:
     """Colored-carrier GP-PAD (GPSSD_PAD_2-checkpoint.ipynb cells 3-8):
     y_t = c_t · exp(f_t) + σ_y·ε with BOTH the log-envelope f and the
@@ -196,46 +274,17 @@ def gppad_colored_infer(
     ones = jnp.ones(T, bool)
 
     def outer(carry, _):
-        lam1, lam2, _, _ = carry
-        # --- f-moments at the current sites (empty sites → the f prior) ---
-        r = 1.0 / jnp.maximum(lam2, lam2_floor)
-        mask = lam2 > lam2_floor
-        resf = sde_gp_smooth(theta_f, t, lam1 * r, mask, r)
-        m, v = resf.mean, resf.var
-        # --- q(c): exact conjugate chain sweep given the envelope moments
-        Eg = jnp.exp(m + 0.5 * v)
-        Eg2 = jnp.exp(2.0 * m + 2.0 * v)
-        resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2)
-        mc, vc = resc.mean, resc.var
+        sites = colored_pad_sweep(theta_f, theta_c, t, y, carry,
+                                  obs_var=obs_var, damping=damping,
+                                  n_gh=n_gh, lam2_floor=lam2_floor)
+        delta = jnp.max(jnp.abs(sites[1] - carry[1]))
+        return sites, delta
 
-        # --- q(f): one damped parallel-EP sweep at the new q(c) ---
-        raw_prec_cav = 1.0 / v - lam2
-        cav_ok = raw_prec_cav > 1e-12
-        prec_cav = jnp.maximum(raw_prec_cav, 1e-12)
-        v_cav = 1.0 / prec_cav
-        m_cav = (m / v - lam1) * v_cav
-
-        def tilt(mcav, vcav, yk, mck, vck):
-            return two_stage_tilt(
-                lambda f: colored_pad_loglik(yk, f, mck, vck, obs_var),
-                mcav, vcav, n=n_gh)
-
-        m_t, v_t = jax.vmap(tilt)(m_cav, v_cav, y, mc, vc)
-        lam2_new = 1.0 / v_t - prec_cav
-        lam1_new = m_t / v_t - m_cav * prec_cav
-        ok = (cav_ok & jnp.isfinite(lam1_new) & jnp.isfinite(lam2_new)
-              & (lam2_new > 0))
-        lam1_new = jnp.where(ok, lam1_new, lam1)
-        lam2_new = jnp.where(ok, lam2_new, lam2)
-        lam1 = (1.0 - damping) * lam1 + damping * lam1_new
-        lam2 = (1.0 - damping) * lam2 + damping * lam2_new
-        delta = jnp.max(jnp.abs(lam2 - carry[1]))
-        return (lam1, lam2, mc, vc), delta
-
-    init = (jnp.zeros(T, dt), jnp.zeros(T, dt),
-            jnp.zeros(T, dt), jnp.full(T, jnp.asarray(theta_c)[0], dt))
-    (lam1, lam2, _, _), deltas = jax.lax.scan(outer, init, None,
-                                              length=iters)
+    if sites0 is None:
+        f_sites = (jnp.zeros(T, dt), jnp.zeros(T, dt))
+    else:
+        f_sites = (jnp.asarray(sites0[0], dt), jnp.asarray(sites0[1], dt))
+    (lam1, lam2), deltas = jax.lax.scan(outer, f_sites, None, length=iters)
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
     resf = sde_gp_smooth(theta_f, t, lam1 * r, lam2 > lam2_floor, r)
     # final q(c) at the FINAL f moments (the loop's mc is one f-sweep stale)
@@ -244,4 +293,4 @@ def gppad_colored_infer(
     resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2)
     return ColoredPADState(
         f_mean=resf.mean, f_var=resf.var, c_mean=resc.mean, c_var=resc.var,
-        envelope=Eg, site_delta=deltas)
+        envelope=Eg, site_delta=deltas, lam1=lam1, lam2=lam2)

@@ -40,6 +40,7 @@ __all__ = [
     "expect_uni",
     "expect_multi",
     "moment_match_uni",
+    "moment_match_uni_logz",
     "moment_match_multi",
 ]
 
@@ -282,15 +283,49 @@ def moment_match_uni(logf, m, v, n: int = 21, var_floor: float = 0.0):
     """
     pts, w = gh_points_weights(n, m, v)
     lf = jax.vmap(logf)(pts)
-    lf = lf - jnp.max(lf)  # stabilized; reference exponentiates raw values
+    lmax = jnp.max(lf)
+    # stabilized; reference exponentiates raw values. The double-where on
+    # Z keeps the VJP clean when the product has zero quadrature mass:
+    # mt = Σ/Z at Z = 0 is a NaN whose derivative (−Σ/Z²) would poison the
+    # cotangent through the fallback where (0·NaN = NaN) — the EP-EM
+    # trainers differentiate THROUGH this function (infer/pad_learn.py).
+    lf = lf - jnp.where(jnp.isfinite(lmax), lmax, 0.0)
     f = jnp.exp(lf)
     Z = jnp.sum(w * f)
-    mt = jnp.sum(w * f * pts) / Z
-    vt = jnp.sum(w * f * (pts - mt) ** 2) / Z + var_floor
-    good = jnp.isfinite(mt) & jnp.isfinite(vt) & (vt > 0)
+    ok_z = jnp.isfinite(Z) & (Z > 0)
+    Zs = jnp.where(ok_z, Z, 1.0)
+    mt = jnp.sum(w * f * pts) / Zs
+    vt = jnp.sum(w * f * (pts - mt) ** 2) / Zs + var_floor
+    good = ok_z & jnp.isfinite(mt) & jnp.isfinite(vt) & (vt > 0)
     m_out = jnp.where(good, mt, m)
     v_out = jnp.where(good, vt, v)
     return m_out, v_out
+
+
+def moment_match_uni_logz(logf, m, v, n: int = 21):
+    """Like :func:`moment_match_uni`, but also returns the tilted
+    log-normalizer  log Z = log ∫ N(f; m, v) · exp(logf(f)) df  (by the same
+    n-point GH rule). The normalizer is the per-site evidence contribution
+    the EP chains need (infer/gppad.ep_chain_evidence) and the
+    model-evidence tilt of the Bayesian-θ updates; moment_match_uni drops it
+    because message products only need the moments. NaN guard falls back to
+    (m, v, −inf) so a dead site scores itself out rather than poisoning the
+    evidence sum."""
+    pts, w = gh_points_weights(n, m, v)
+    lf = jax.vmap(logf)(pts)
+    lmax = jnp.max(lf)
+    # same double-where discipline as moment_match_uni: zero-mass products
+    # must not leak NaN/inf derivatives through the fallback wheres
+    f = jnp.exp(lf - jnp.where(jnp.isfinite(lmax), lmax, 0.0))
+    Z = jnp.sum(w * f)
+    ok_z = jnp.isfinite(Z) & (Z > 0)
+    Zs = jnp.where(ok_z, Z, 1.0)
+    log_z = jnp.log(Zs) + lmax
+    mt = jnp.sum(w * f * pts) / Zs
+    vt = jnp.sum(w * f * (pts - mt) ** 2) / Zs
+    good = ok_z & jnp.isfinite(mt) & jnp.isfinite(vt) & (vt > 0)
+    return (jnp.where(good, mt, m), jnp.where(good, vt, v),
+            jnp.where(good & jnp.isfinite(log_z), log_z, -jnp.inf))
 
 
 def moment_match_multi(logf, m, V, method=SphericalRadial()):
