@@ -56,7 +56,7 @@ def pad_loglik(y, f, carrier_var):
     return -0.5 * (jnp.log(2.0 * jnp.pi * v) + y * y / v)
 
 
-@partial(jax.jit, static_argnames=("iters", "n_gh"))
+@partial(jax.jit, static_argnames=("iters", "n_gh", "parallel"))
 def gppad_infer(
     theta,  # [σ² (GP variance), ℓ] of the Matérn-5/2 log-envelope prior
     t,  # (T,) timeline
@@ -67,6 +67,7 @@ def gppad_infer(
     n_gh: int = 61,  # the notebook uses GH-131 for its products
     lam2_floor: float = 1e-10,
     sites0=None,  # optional (lam1, lam2) warm start — EP-EM re-runs
+    parallel: bool = False,  # parallel-in-time chain sweeps (associative scan)
 ) -> PADState:
     """Parallel-EP GP-PAD. Returns the smoothed log-envelope posterior and
     the site trajectory diagnostics."""
@@ -82,7 +83,7 @@ def gppad_infer(
         r = 1.0 / jnp.maximum(lam2, lam2_floor)
         z = lam1 * r
         mask = lam2 > lam2_floor
-        res = sde_gp_smooth(theta, t, z, mask, r)
+        res = sde_gp_smooth(theta, t, z, mask, r, parallel=parallel)
         m, v = res.mean, res.var
         # cavity: delete the site from the smoothed marginal. A site whose
         # precision has crept up to the marginal's (raw cavity precision
@@ -130,7 +131,8 @@ def gppad_infer(
         init = (jnp.asarray(sites0[0], dt), jnp.asarray(sites0[1], dt))
     (lam1, lam2), deltas = jax.lax.scan(sweep, init, None, length=iters)
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
-    res = sde_gp_smooth(theta, t, lam1 * r, lam2 > lam2_floor, r)
+    res = sde_gp_smooth(theta, t, lam1 * r, lam2 > lam2_floor, r,
+                        parallel=parallel)
     return PADState(mean=res.mean, var=res.var, lam1=lam1, lam2=lam2,
                     envelope=jnp.exp(res.mean + 0.5 * res.var),
                     site_delta=deltas)
@@ -182,7 +184,7 @@ def two_stage_tilt(ll, m, v, n: int = 61):
 
 def colored_pad_sweep(theta_f, theta_c, t, y, sites, obs_var=1e-3,
                       damping: float = 0.5, n_gh: int = 61,
-                      lam2_floor: float = 1e-10):
+                      lam2_floor: float = 1e-10, parallel: bool = False):
     """ONE outer iteration of the colored-carrier mean-field loop:
     f-moments at the current sites → exact q(c) chain sweep → one damped
     parallel-EP f-site update. ``sites`` is the ``(lam1, lam2)`` pair; the
@@ -196,12 +198,13 @@ def colored_pad_sweep(theta_f, theta_c, t, y, sites, obs_var=1e-3,
     # --- f-moments at the current sites (empty sites → the f prior) ---
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
     mask = lam2 > lam2_floor
-    resf = sde_gp_smooth(theta_f, t, lam1 * r, mask, r)
+    resf = sde_gp_smooth(theta_f, t, lam1 * r, mask, r, parallel=parallel)
     m, v = resf.mean, resf.var
     # --- q(c): exact conjugate chain sweep given the envelope moments ---
     Eg = jnp.exp(m + 0.5 * v)
     Eg2 = jnp.exp(2.0 * m + 2.0 * v)
-    resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2)
+    resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2,
+                         parallel=parallel)
     mc, vc = resc.mean, resc.var
 
     # --- q(f): one damped parallel-EP sweep at the new q(c) ---
@@ -230,7 +233,7 @@ def colored_pad_sweep(theta_f, theta_c, t, y, sites, obs_var=1e-3,
             (1.0 - damping) * lam2 + damping * lam2_new)
 
 
-@partial(jax.jit, static_argnames=("iters", "n_gh"))
+@partial(jax.jit, static_argnames=("iters", "n_gh", "parallel"))
 def gppad_colored_infer(
     theta_f,  # [σ², ℓ] of the Matérn-5/2 log-envelope GP
     theta_c,  # [σ², ℓ] of the Matérn-5/2 CARRIER GP (the PAD_2 extension)
@@ -242,6 +245,7 @@ def gppad_colored_infer(
     n_gh: int = 61,
     lam2_floor: float = 1e-10,
     sites0=None,  # optional (lam1, lam2) f-site warm start — EP-EM re-runs
+    parallel: bool = False,  # parallel-in-time chain sweeps (associative scan)
 ) -> ColoredPADState:
     """Colored-carrier GP-PAD (GPSSD_PAD_2-checkpoint.ipynb cells 3-8):
     y_t = c_t · exp(f_t) + σ_y·ε with BOTH the log-envelope f and the
@@ -276,7 +280,8 @@ def gppad_colored_infer(
     def outer(carry, _):
         sites = colored_pad_sweep(theta_f, theta_c, t, y, carry,
                                   obs_var=obs_var, damping=damping,
-                                  n_gh=n_gh, lam2_floor=lam2_floor)
+                                  n_gh=n_gh, lam2_floor=lam2_floor,
+                                  parallel=parallel)
         delta = jnp.max(jnp.abs(sites[1] - carry[1]))
         return sites, delta
 
@@ -286,11 +291,13 @@ def gppad_colored_infer(
         f_sites = (jnp.asarray(sites0[0], dt), jnp.asarray(sites0[1], dt))
     (lam1, lam2), deltas = jax.lax.scan(outer, f_sites, None, length=iters)
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
-    resf = sde_gp_smooth(theta_f, t, lam1 * r, lam2 > lam2_floor, r)
+    resf = sde_gp_smooth(theta_f, t, lam1 * r, lam2 > lam2_floor, r,
+                         parallel=parallel)
     # final q(c) at the FINAL f moments (the loop's mc is one f-sweep stale)
     Eg = jnp.exp(resf.mean + 0.5 * resf.var)
     Eg2 = jnp.exp(2.0 * resf.mean + 2.0 * resf.var)
-    resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2)
+    resc = sde_gp_smooth(theta_c, t, y * Eg / Eg2, ones, obs_var / Eg2,
+                         parallel=parallel)
     return ColoredPADState(
         f_mean=resf.mean, f_var=resf.var, c_mean=resc.mean, c_var=resc.var,
         envelope=Eg, site_delta=deltas, lam1=lam1, lam2=lam2)

@@ -94,7 +94,7 @@ def _cavities(m, v, lam1, lam2, active):
 
 
 def ep_chain_evidence(theta, t, lam1, lam2, loglik, args=(), n_gh: int = 61,
-                      lam2_floor: float = 1e-10):
+                      lam2_floor: float = 1e-10, parallel: bool = False):
     """EP approximation of log p(y | θ) for a Matérn-5/2 chain with Gaussian
     sites ``(lam1, lam2)`` standing in for per-point likelihoods
     ``exp(loglik(f, *args_k))`` (``args``: tuple of (T,) arrays of per-point
@@ -109,7 +109,7 @@ def ep_chain_evidence(theta, t, lam1, lam2, loglik, args=(), n_gh: int = 61,
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
     z = lam1 * r
     active = lam2 > lam2_floor
-    res = sde_gp_smooth(theta, t, z, active, r)
+    res = sde_gp_smooth(theta, t, z, active, r, parallel=parallel)
     m_cav, v_cav, prec_cav = _cavities(res.mean, res.var, lam1, lam2, active)
 
     def tilt_logz(mc, vc, a):
@@ -131,14 +131,14 @@ def ep_chain_evidence(theta, t, lam1, lam2, loglik, args=(), n_gh: int = 61,
 
 
 def pad_evidence(theta, t, y, lam1, lam2, carrier_var=1.0, n_gh: int = 61,
-                 lam2_floor: float = 1e-10):
+                 lam2_floor: float = 1e-10, parallel: bool = False):
     """EP marginal likelihood of the white-carrier PAD model
     y_t = c_t·e^{f_t}, c_t ~ N(0, σ_c²) at the given converged sites."""
     y = jnp.asarray(y)
     return ep_chain_evidence(
         theta, t, lam1, lam2,
         lambda f, yk: pad_loglik(yk, f, carrier_var), (y,),
-        n_gh=n_gh, lam2_floor=lam2_floor)
+        n_gh=n_gh, lam2_floor=lam2_floor, parallel=parallel)
 
 
 def _site_cross_terms(z, r, m, v, active):
@@ -149,7 +149,7 @@ def _site_cross_terms(z, r, m, v, active):
 
 
 def pad_elbo(theta, t, y, state: PADState, carrier_var=1.0,
-             lam2_floor: float = 1e-10):
+             lam2_floor: float = 1e-10, parallel: bool = False):
     """Rigorous mean-field ELBO of the white-carrier PAD model at the
     state's q(f): Σ_t E_q[log N(y_t; 0, σ_c² e^{2f_t})] − KL(q(f)‖p(f)).
     Fully closed form: E_q[log-lik] = −½log(2πσ_c²) − m_t −
@@ -163,7 +163,7 @@ def pad_elbo(theta, t, y, state: PADState, carrier_var=1.0,
     r = 1.0 / jnp.maximum(lam2, lam2_floor)
     z = lam1 * r
     active = lam2 > lam2_floor
-    res = sde_gp_smooth(theta, t, z, active, r)
+    res = sde_gp_smooth(theta, t, z, active, r, parallel=parallel)
     m, v = res.mean, res.var
     e_lik = jnp.sum(-0.5 * jnp.log(2.0 * jnp.pi * carrier_var) - m
                     - y * y * jnp.exp(-2.0 * m + 2.0 * v)
@@ -173,7 +173,7 @@ def pad_elbo(theta, t, y, state: PADState, carrier_var=1.0,
 
 
 def colored_pad_elbo(theta_f, theta_c, t, y, lam1, lam2, obs_var=1e-3,
-                     lam2_floor: float = 1e-10):
+                     lam2_floor: float = 1e-10, parallel: bool = False):
     """Rigorous mean-field ELBO of the colored-carrier PAD model
     (GPSSD_PAD_2) at the f-sites ``(lam1, lam2)``:
 
@@ -191,14 +191,14 @@ def colored_pad_elbo(theta_f, theta_c, t, y, lam1, lam2, obs_var=1e-3,
     rf = 1.0 / jnp.maximum(lam2, lam2_floor)
     zf = lam1 * rf
     active = lam2 > lam2_floor
-    resf = sde_gp_smooth(theta_f, t, zf, active, rf)
+    resf = sde_gp_smooth(theta_f, t, zf, active, rf, parallel=parallel)
     m, v = resf.mean, resf.var
     eg = jnp.exp(m + 0.5 * v)
     eg2 = jnp.exp(2.0 * m + 2.0 * v)
     zc = y * eg / eg2
     rc = obs_var / eg2
     ones = jnp.ones(y.shape[0], bool)
-    resc = sde_gp_smooth(theta_c, t, zc, ones, rc)
+    resc = sde_gp_smooth(theta_c, t, zc, ones, rc, parallel=parallel)
     mc, vc = resc.mean, resc.var
     e_lik = jnp.sum(-0.5 * jnp.log(2.0 * jnp.pi * obs_var)
                     - (y * y - 2.0 * y * mc * eg + (mc * mc + vc) * eg2)
