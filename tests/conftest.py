@@ -18,3 +18,30 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Keep the persistent compilation cache OFF under pytest. Some tests import
+# experiment modules whose module-level config enables it
+# (jax_compilation_cache_dir = .jax_cache); with it on, serializing /
+# deserializing the large multi-device CPU executables of the dp-trainer
+# sharding tests segfaults jaxlib (measured twice, on both the cache-write
+# and cache-read paths, with a fresh cache dir — test_sharding.py passes in
+# isolation where the cache never gets enabled). Experiments and bench keep
+# the cache; tests are hermetic without it.
+jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles hundreds of programs into one process; with all
+    of them held live, XLA segfaulted compiling the multi-device dp-trainer
+    programs late in the run (raw `backend_compile_and_load`, no persistent
+    cache involved — the same test file passes in isolation, so the crash
+    tracks accumulated in-process compilation state, not the program).
+    Cross-module jit reuse is rare (different shapes/functions), so this
+    costs little and keeps every module compiling against a near-fresh
+    backend."""
+    yield
+    jax.clear_caches()
