@@ -38,6 +38,9 @@ self-contained GP models, re-designed TPU-first:
 
 Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad]
        [pad2] [padlearn] [control]
+Plus an opt-in benchmark (not in the default list): `padscale [--tpu]` —
+sequential vs parallel-in-time smoother wall-clock at audio-scale T
+(writes benchmarks/pad_scale_r3.json).
 """
 
 import os as _os
@@ -365,12 +368,130 @@ def run_control(verbose: bool = True):
     return e1, e0
 
 
+def _padscale_workload(T):
+    """PAD-shaped smoother inputs: heteroscedastic pseudo-observations with
+    a third of the sites inactive (what the EP loop feeds back)."""
+    rng = np.random.default_rng(11)
+    t = jnp.asarray(np.linspace(0.0, 60.0, T))
+    z = jnp.asarray(rng.normal(size=T) * 0.5)
+    r = jnp.asarray(rng.uniform(0.05, 2.0, size=T))
+    mask = jnp.asarray(rng.uniform(size=T) < (2.0 / 3.0))
+    return t, z, mask, r
+
+
+def run_padscale_one(T: int, parallel: bool, reps: int = 10):
+    """ONE (T, mode) measurement, printed as a JSON line — run in its OWN
+    process by `run_padscale`: a long sequential f64 chain was measured to
+    CRASH this tunnel's TPU worker (T=32768, execution — the same failure
+    mode recorded for the full pendulum --tpu run), and a dead worker takes
+    the whole process's backend with it, so isolation is what turns a crash
+    into a data point."""
+    import json
+
+    from gaussianprocessnode_tpu.infer.sde_gp import sde_gp_smooth
+    from gaussianprocessnode_tpu.utils.profiling import block_via_host
+
+    theta = jnp.asarray([1.0, 0.9])
+    t, z, mask, r = _padscale_workload(T)
+    fn = lambda: sde_gp_smooth(theta, t, z, mask, r, parallel=parallel)
+    c0 = time.time()
+    out = fn()
+    block_via_host(out.mean)
+    compile_s = time.time() - c0
+    tt = time.time()
+    for _ in range(reps):
+        o = fn()
+    block_via_host(o.mean)
+    ms = (time.time() - tt) / reps * 1e3
+    print(json.dumps({
+        "T": T, "mode": "parallel" if parallel else "sequential",
+        "warm_ms": round(ms, 2), "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "mean_head": [float(v) for v in np.asarray(out.mean[:3])],
+        "log_lik": float(out.log_lik)}))
+
+
+def run_padscale(verbose: bool = True, sizes=(1 << 13, 1 << 15, 1 << 17),
+                 write_json: bool = True):
+    """Benchmark: sequential `lax.scan` vs parallel-in-time (associative
+    scan) smoother at audio-scale T — GP-PAD's natural regime (the PAD
+    notebooks demodulate signals; T = 10⁵–10⁶ at audio rates).
+
+    Each (T, mode) runs in a fresh subprocess (see `run_padscale_one`); a
+    measurement that crashes the TPU worker or times out is recorded as
+    such instead of killing the sweep. Timing is warm (post-compile) with
+    host materialization (DEVIATIONS #6a); where both modes survive at the
+    same T, their posterior means and log-likelihoods are cross-checked.
+    Not in the default experiment list — run explicitly:
+    `python experiments/legacy_gp.py padscale [--tpu]`.
+    """
+    import json
+    import subprocess
+
+    for a in sys.argv:  # optional override: --sizes=8192,32768
+        if a.startswith("--sizes="):
+            sizes = tuple(int(s) for s in a.split("=")[1].split(","))
+    rows = []
+    for T in sizes:
+        res = {}
+        for mode in ("sequential", "parallel"):
+            cmd = [sys.executable, _os.path.abspath(__file__),
+                   "padscale-one", f"--T={T}", f"--mode={mode}"]
+            if "--tpu" in sys.argv:
+                cmd.append("--tpu")
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=1200)
+                line = [l for l in p.stdout.splitlines()
+                        if l.startswith("{")]
+                if p.returncode == 0 and line:
+                    res[mode] = json.loads(line[-1])
+                else:
+                    err = (p.stderr.strip().splitlines() or ["?"])[-1]
+                    res[mode] = {"T": T, "mode": mode, "error": err[:300]}
+            except subprocess.TimeoutExpired:
+                res[mode] = {"T": T, "mode": mode, "error": "timeout 1200s"}
+            if verbose:
+                r = res[mode]
+                msg = (f"{r['warm_ms']} ms warm (compile {r['compile_s']} s)"
+                       if "warm_ms" in r else f"FAILED: {r['error'][:120]}")
+                print(f"[pad-scale T={T} {mode}] {msg}", flush=True)
+        row = {"T": T, **{m: res[m] for m in res}}
+        if all("warm_ms" in res[m] for m in res):
+            row["speedup"] = round(res["sequential"]["warm_ms"]
+                                   / res["parallel"]["warm_ms"], 1)
+            dm = max(abs(a - b) for a, b in zip(
+                res["sequential"]["mean_head"], res["parallel"]["mean_head"]))
+            dl = abs(res["sequential"]["log_lik"] - res["parallel"]["log_lik"])
+            assert dm < 1e-6 and dl < 1e-5 * max(1.0, abs(
+                res["sequential"]["log_lik"])), (dm, dl)
+            if verbose:
+                print(f"[pad-scale T={T}] speedup {row['speedup']}×, "
+                      f"cross-check max|Δmean_head| {dm:.2e}", flush=True)
+        rows.append(row)
+    if write_json:
+        payload = {"tpu": "--tpu" in sys.argv, "rows": rows}
+        path = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "benchmarks", "pad_scale_r3.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        if verbose:
+            print(f"[pad-scale] wrote {path}")
+    return rows
+
+
 if __name__ == "__main__":
     which = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if which == ["padscale-one"]:  # subprocess entry for run_padscale
+        T = int(next(a for a in sys.argv if a.startswith("--T=")).split("=")[1])
+        mode = next(a for a in sys.argv
+                    if a.startswith("--mode=")).split("=")[1]
+        run_padscale_one(T, parallel=(mode == "parallel"))
+        sys.exit(0)
     which = which or ["tprocess", "sde", "fullcov", "pad", "pad2",
                       "padlearn", "control"]
     for w in which:
         {"tprocess": run_tprocess, "sde": run_sde,
          "fullcov": run_fullcov, "pad": run_pad, "pad2": run_pad2,
-         "padlearn": run_padlearn,
+         "padlearn": run_padlearn, "padscale": run_padscale,
          "control": run_control}[w]()

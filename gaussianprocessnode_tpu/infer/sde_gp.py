@@ -69,9 +69,20 @@ def matern52_ssm(theta):
 
 def _discretize(F, Pinf, dts):
     """Per-step transition A_k = expm(F Δt_k) and exact process noise
-    Q_k = P∞ − A_k P∞ A_kᵀ (stationarity — no Qc integral needed)."""
-    expm = jax.scipy.linalg.expm
-    A = jax.vmap(lambda d: expm(F * d))(dts)  # (T−1, 3, 3)
+    Q_k = P∞ − A_k P∞ A_kᵀ (stationarity — no Qc integral needed).
+
+    expm is CLOSED FORM: the Matérn-5/2 companion matrix has the triple
+    eigenvalue −λ, so by Cayley–Hamilton (F + λI)³ = 0 and
+    expm(FΔ) = e^{−λΔ}(I + NΔ + N²Δ²/2) with nilpotent N = F + λI —
+    exact to round-off, pure batched elementwise arithmetic. (The generic
+    `jax.scipy.linalg.expm` Padé route needs an LU solve, which XLA:TPU
+    implements only in f32 — it fails to compile the f64 batch.)"""
+    lam = -F[2, 2] / 3.0  # companion last row is [−λ³, −3λ², −3λ]
+    eye = jnp.eye(3, dtype=F.dtype)
+    N = F + lam * eye
+    N2 = N @ N
+    d = dts[:, None, None]
+    A = jnp.exp(-lam * d) * (eye + N * d + N2 * (0.5 * d * d))
     Q = Pinf[None] - jnp.einsum("tij,jk,tlk->til", A, Pinf, A)
     return A, Q
 
@@ -147,6 +158,36 @@ def sde_gp_smooth(theta, t, y, obs_mask, obs_var,
     return SDEGPResult(mean=sm[:, 0], var=sP[:, 0, 0], log_lik=log_lik)
 
 
+def _inv33(m):
+    """Batched closed-form 3×3 inverse (adjugate / determinant).
+
+    TPU constraint: `jnp.linalg.solve` lowers to LuDecomposition, which XLA
+    implements only for f32/c64 on TPU — the f64 batched solves the
+    parallel smoother needs fail to compile. Every matrix inverted here is
+    I + (covariance)·(information) or an SPD predictive covariance, both
+    well-conditioned at the smoother's scales, so the explicit adjugate is
+    accurate in f64 (parallel ≡ sequential to ~1e-9, the same bound as the
+    LU version achieved on CPU) and is pure elementwise arithmetic — no
+    LAPACK dispatch on CPU, no unsupported decomposition on TPU."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = f * g - d * i
+    c02 = d * h - e * g
+    c10 = c * h - b * i
+    c11 = a * i - c * g
+    c12 = b * g - a * h
+    c20 = b * f - c * e
+    c21 = c * d - a * f
+    c22 = a * e - b * d
+    det = a * c00 + b * c01 + c * c02
+    inv = jnp.stack([jnp.stack([c00, c10, c20], -1),
+                     jnp.stack([c01, c11, c21], -1),
+                     jnp.stack([c02, c12, c22], -1)], -2)
+    return inv / det[..., None, None]
+
+
 def _smooth_parallel(A, Q, Pinf, y, mask, R) -> SDEGPResult:
     """Parallel-in-time Kalman filter + RTS smoother by associative scans
     (Särkkä & García-Fernández 2021, "Temporal parallelization of Bayesian
@@ -203,20 +244,18 @@ def _smooth_parallel(A, Q, Pinf, y, mask, R) -> SDEGPResult:
     def fcomb(e1, e2):
         a1, b1, c1, h1, j1 = e1
         a2, b2, c2, h2, j2 = e2
-        # a2 (I + c1 j2)⁻¹ via the transposed solve; (I + j2 c1)⁻¹ direct
-        m = I3 + c1 @ j2
-        a2d = jnp.linalg.solve(jnp.swapaxes(m, -1, -2),
-                               jnp.swapaxes(a2, -1, -2))
-        a2d = jnp.swapaxes(a2d, -1, -2)
-        n = I3 + j2 @ c1
+        # a2 (I + c1 j2)⁻¹ and (I + j2 c1)⁻¹ via the closed-form 3×3
+        # inverse (_inv33 — TPU has no f64 LU)
+        a2d = a2 @ _inv33(I3 + c1 @ j2)
+        ninv = _inv33(I3 + j2 @ c1)
         a12 = a2d @ a1
         b12 = (a2d @ (b1 + (c1 @ h2[..., None])[..., 0])[..., None]
                )[..., 0] + b2
         c12 = a2d @ c1 @ jnp.swapaxes(a2, -1, -2) + c2
         rhs = h2 - (j2 @ b1[..., None])[..., 0]
-        t1 = jnp.linalg.solve(n, rhs[..., None])[..., 0]
+        t1 = (ninv @ rhs[..., None])[..., 0]
         h12 = (jnp.swapaxes(a1, -1, -2) @ t1[..., None])[..., 0] + h1
-        j12 = (jnp.swapaxes(a1, -1, -2) @ jnp.linalg.solve(n, j2)) @ a1 + j1
+        j12 = (jnp.swapaxes(a1, -1, -2) @ (ninv @ j2)) @ a1 + j1
         return a12, b12, c12, h12, j12
 
     _, fm, fP, _, _ = jax.lax.associative_scan(
@@ -233,7 +272,7 @@ def _smooth_parallel(A, Q, Pinf, y, mask, R) -> SDEGPResult:
                                   + resid * resid / s_pred))
 
     # --- smoother elements (paper eq. (21)): suffix associative scan ---
-    G = jnp.swapaxes(jnp.linalg.solve(Pp[1:], A @ fP[:-1]), -1, -2)
+    G = jnp.swapaxes(_inv33(Pp[1:]) @ (A @ fP[:-1]), -1, -2)
     E = jnp.concatenate([G, jnp.zeros((1, 3, 3), dt)])
     g = jnp.concatenate([fm[:-1] - (G @ mp[1:, :, None])[..., 0],
                          fm[-1][None]])
