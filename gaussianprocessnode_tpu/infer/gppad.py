@@ -171,9 +171,12 @@ def two_stage_tilt(ll, m, v, n: int = 61):
     # σ_y² = 1e-3 with a strong carrier), and pass 2's re-localization term
     # (f−m1)²/(2v1) then divides by v1² in the VJP — under/overflow → NaN
     # for every consumer that differentiates through the tilt
-    # (infer/pad_learn.py's EP-EM). Sites this sharp produce λ₂ ≥ 1e12 and
-    # are rejected by the site-update ceiling regardless, so the floor
-    # never changes an accepted update.
+    # (infer/pad_learn.py's EP-EM). A raw v1 this sharp indicates a site
+    # that is overwhelmingly likely to exceed the λ₂ ≥ 1e12 rejection
+    # ceiling; the floor widens pass 2's grid for exactly those sites (in
+    # principle an update could re-localize back under the ceiling and be
+    # accepted where the unfloored pass would have rejected it, but only
+    # at sites already at the edge of numerical meaning).
     v1 = jnp.maximum(v1, 1e-12)
 
     def ll2(f):

@@ -403,8 +403,14 @@ def fit_gppad_theta(t, y, theta0, carrier_var=1.0, epochs: int = 30,
     theta = jnp.exp(log_th)
     if not learn_var:
         theta = jnp.stack([jnp.exp(log_th0[0]), theta[1]])
+    # one final E-step AT the learned θ: the scan's last carry holds sites
+    # from the E-step taken before the final θ update, so returning them
+    # directly would hand back a one-θ-step-inconsistent (θ, sites) pair
+    # (pad_evidence(θ, sites) ≠ evidence[-1])
+    st = gppad_infer(theta, t, y, carrier_var=carrier_var,
+                     iters=ep_iters, n_gh=n_gh, sites0=(lam1, lam2))
     return PADFitResult(theta=theta, evidence=evs, theta_trace=ths,
-                        sites=(lam1, lam2))
+                        sites=(st.lam1, st.lam2))
 
 
 @partial(jax.jit, static_argnames=("epochs", "ep_iters", "adjoint_iters",
