@@ -49,7 +49,8 @@ def knn_accuracy(Z, labels, k=1):
 
 
 def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
-        grad_epochs: int = 25, verbose: bool = True):
+        grad_epochs: int = 25, verbose: bool = True,
+        chunk: int | None = None, checkpoint_path: str | None = None):
     """``grad=True`` (default): gradient hyperopt — a jitted EM alternation
     (warm-started VMP E-step + L-BFGS on the θ-differentiable FE, SURVEY
     §7.1 optimizer row). ``grad=False`` (``--nm``): the reference's
@@ -69,11 +70,60 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
     theta0 = jnp.asarray([1.0, 0.6, 0.5])  # reference cell 17 (raw, pre-softplus)
 
     t0 = time.time()
+    device_s = 0.0
     if grad:
-        theta, _, fe_trace = fit_gplvm_grad(
-            kernel, theta0, Xu, Y, Xm, epochs=grad_epochs, n_iters=n_iters
-        )
-        history = [float(f) for f in np.asarray(fe_trace)]
+        if chunk is None:
+            chunk = grad_epochs
+        # chunk-granular host checkpoint, exactly as experiments/pendulum.py:
+        # long on-device hyperopts stay under the tunnel RPC deadline per
+        # execution and a crashed process resumes from the last chunk
+        from gaussianprocessnode_tpu.utils.profiling import block_via_host
+
+        theta, state = theta0, None
+        fe_all = np.zeros(grad_epochs)
+        done = 0
+        if checkpoint_path and _os.path.exists(checkpoint_path):
+            from gaussianprocessnode_tpu.infer.gplvm import GPLVMState
+            from gaussianprocessnode_tpu.utils.checkpoint import load_pytree
+
+            N, D = Y.shape
+            Din, Mi = Xm.shape[1], Xu.shape[0]
+            like_state = GPLVMState(
+                Xm, jnp.zeros((N, Din, Din), Y.dtype),
+                jnp.zeros(Mi * D, Y.dtype),
+                jnp.zeros((Mi * D, Mi * D), Y.dtype),
+            )
+            ck = load_pytree(checkpoint_path, {
+                "theta": theta0, "state": like_state,
+                "done": np.zeros((), np.int64), "fe": fe_all,
+                "device_seconds": np.zeros(()),
+            })
+            theta, state = ck["theta"], ck["state"]
+            done = int(ck["done"])
+            fe_all = np.asarray(ck["fe"]).copy()
+            device_s = float(ck["device_seconds"])
+            if verbose and done:
+                print(f"[resume] {done}/{grad_epochs} epochs", flush=True)
+        while done < grad_epochs:
+            n = min(chunk, grad_epochs - done)
+            tc = time.time()
+            theta, state, fe_c = fit_gplvm_grad(
+                kernel, theta, Xu, Y, Xm, epochs=n, n_iters=n_iters,
+                init_state=state,
+            )
+            block_via_host(fe_c)
+            device_s += time.time() - tc
+            fe_all[done:done + n] = np.asarray(fe_c)
+            done += n
+            if checkpoint_path:
+                from gaussianprocessnode_tpu.utils.checkpoint import save_pytree
+
+                save_pytree(checkpoint_path, {
+                    "theta": theta, "state": state,
+                    "done": np.asarray(done, np.int64), "fe": fe_all,
+                    "device_seconds": np.asarray(device_s),
+                })
+        history = [float(f) for f in fe_all]
         fe_val = history[-1]
     else:
         def fe_obj(theta):
@@ -97,7 +147,8 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
               f"(reference: [1.4136, 0.7675, 1.0215])")
     return {"fe": float(fe), "fe_hyperopt": fe_val, "knn_acc": acc,
             "knn_acc_pca": acc_pca, "theta": np.asarray(theta),
-            "seconds": hyperopt_s, "latents": Z, "labels": labels}
+            "seconds": hyperopt_s, "device_hyperopt_seconds": device_s,
+            "fe_trace": history, "latents": Z, "labels": labels}
 
 
 if __name__ == "__main__":
@@ -106,7 +157,24 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     grad = "--nm" not in sys.argv
     n = int(args[0]) if args else None
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--ckpt="):
+            kw["checkpoint_path"] = a.split("=", 1)[1]
+        elif a.startswith("--chunk="):
+            kw["chunk"] = int(a.split("=", 1)[1])
     if grad:
-        run(grad_epochs=n if n is not None else 25, grad=True)
+        res = run(grad_epochs=n if n is not None else 25, grad=True, **kw)
     else:
-        run(nm_iters=n if n is not None else 25, grad=False)
+        res = run(nm_iters=n if n is not None else 25, grad=False, **kw)
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            # machine-readable record for experiments/tpu_record.py
+            import json as _json
+
+            payload = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                       for k, v in res.items() if k not in ("latents", "labels")}
+            payload["backend"] = jax.default_backend()
+            payload["device"] = str(jax.devices()[0])
+            with open(a.split("=", 1)[1], "w") as f:
+                _json.dump(payload, f, indent=1)

@@ -86,7 +86,8 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         fresh_estep: bool = False, use_lbfgs: bool = True,
         adamax_lr: float = 0.01, adamax_decay: float = 0.2,
-        verbose: bool = True, sp_devices: int = 0):
+        verbose: bool = True, sp_devices: int = 0,
+        chunk: int | None = None, checkpoint_path: str | None = None):
     x_state, y_obs, Q, P, dt = pendulum()
     n_train = 300
     y_train = jnp.asarray(y_obs[:n_train])
@@ -197,21 +198,48 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         prior_v.xi, prior_v.prec,
         jnp.asarray(100.0, ydt), jnp.eye(2, dtype=ydt),
     )
-    chunk = 25 if "--tpu" in sys.argv else epochs
+    if chunk is None:
+        chunk = 25 if "--tpu" in sys.argv else epochs
     t0 = time.time()
     opt_state0 = optimizer.init(theta0) if optimizer is not None else ()
     carry = (theta0, opt_state0, state0)
-    fe_chunks = []
+    fe_all = np.zeros(epochs)
     done = 0
+    device_s = 0.0
+    # chunk-granular host checkpoint: a crashed/restarted process resumes
+    # from the last completed chunk instead of epoch 0 — what turns a
+    # transient TPU-worker crash into a retried chunk (VERDICT r3 item 1)
+    ck = {"carry": carry, "done": np.zeros((), np.int64),
+          "fe": fe_all, "device_seconds": np.zeros(())}
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        from gaussianprocessnode_tpu.utils.checkpoint import load_pytree
+
+        ck = load_pytree(checkpoint_path, ck)
+        carry = ck["carry"]
+        done = int(ck["done"])
+        fe_all = np.asarray(ck["fe"]).copy()
+        device_s = float(ck["device_seconds"])
+        if verbose and done:
+            print(f"[resume] {done}/{epochs} epochs from {checkpoint_path}",
+                  flush=True)
     while done < epochs:
         n = min(chunk, epochs - done)
+        tc = time.time()
         carry, fe_c = hyperopt_chunk(carry, n)
         block_via_host(fe_c)
-        fe_chunks.append(np.asarray(fe_c))
+        device_s += time.time() - tc
+        fe_all[done:done + n] = np.asarray(fe_c)
         done += n
+        if checkpoint_path:
+            from gaussianprocessnode_tpu.utils.checkpoint import save_pytree
+
+            save_pytree(checkpoint_path, {
+                "carry": carry, "done": np.asarray(done, np.int64),
+                "fe": fe_all, "device_seconds": np.asarray(device_s),
+            })
     theta, _, _ = carry
     hyperopt_s = time.time() - t0
-    fe_trace = [float(f) for f in np.concatenate(fe_chunks)]
+    fe_trace = [float(f) for f in fe_all]
     if verbose:
         for ep in range(0, epochs, 25):
             print(f"epoch {ep:4d}  FE={fe_trace[ep]:.2f}", flush=True)
@@ -233,16 +261,35 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         from gaussianprocessnode_tpu.parallel.sharding import make_mesh
 
         mesh = make_mesh(jax.devices()[:sp_devices], axis="sp")
+        t_sm = time.time()
         state, fe = gpssm_vmp_sp(
             kernel, theta, Xu, shard_chain_data(mesh, y_train), P_j,
             prior_x0_mean, prior_x0_cov, prior_v, 100.0, jnp.eye(2),
             mesh=mesh, n_iters=150,
         )
+        block_via_host(fe)
+        smooth_s = time.time() - t_sm
+    elif "--pit" in sys.argv:
+        # parallel-in-time final smoothing (infer/pit_gpssm.py): SLR +
+        # associative-scan LGSSM sweeps + exact Jacobi polish — same fixed
+        # point, a fraction of the sweeps
+        from gaussianprocessnode_tpu.infer.pit_gpssm import gpssm_vmp_pit
+
+        t_sm = time.time()
+        state, fe = gpssm_vmp_pit(
+            kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
+            prior_v, 100.0, jnp.eye(2), n_pit=4, n_polish=30,
+        )
+        block_via_host(fe)
+        smooth_s = time.time() - t_sm
     else:
+        t_sm = time.time()
         state, fe = gpssm_vmp(
             kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
             prior_v, 100.0, jnp.eye(2), n_iters=150,
         )
+        block_via_host(fe)
+        smooth_s = time.time() - t_sm
     sm1 = float(smse(x_true_train[:, 0], np.asarray(state.x_means[1:, 0])))
     sm2 = float(smse(x_true_train[:, 1], np.asarray(state.x_means[1:, 1])))
 
@@ -280,11 +327,19 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         "fe_trace": fe_trace,
         "theta": np.asarray(theta),
         "hyperopt_seconds": hyperopt_s,
+        "device_hyperopt_seconds": device_s,
+        "smoothing_seconds": smooth_s,
     }
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--ckpt="):
+            kw["checkpoint_path"] = a.split("=", 1)[1]
+        elif a.startswith("--chunk="):
+            kw["chunk"] = int(a.split("=", 1)[1])
     if "--faithful" in sys.argv:
         # The reference's exact M-step schedule (Pendulum_Wishart_2d.ipynb
         # cells 16-17): Flux AdaMax default lr 0.002, constant, 100 steps per
@@ -292,8 +347,20 @@ if __name__ == "__main__":
         # (25 warm Jacobi sweeps ≈ 10 sequential; fresh_estep replays the
         # restart). Bounds the deviation of the fast L-BFGS default by a
         # recorded number (VERDICT r2 item 8).
-        run(epochs=int(args[0]) if args else 150, n_iters=25,
-            adamax_steps=100, fresh_estep=True, use_lbfgs=False,
-            adamax_lr=0.002, adamax_decay=1.0, sp_devices=_SP)
+        res = run(epochs=int(args[0]) if args else 150, n_iters=25,
+                  adamax_steps=100, fresh_estep=True, use_lbfgs=False,
+                  adamax_lr=0.002, adamax_decay=1.0, sp_devices=_SP, **kw)
     else:
-        run(epochs=int(args[0]) if args else 150, sp_devices=_SP)
+        res = run(epochs=int(args[0]) if args else 150, sp_devices=_SP, **kw)
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            # machine-readable record for the subprocess-isolated TPU
+            # recorder (experiments/tpu_record.py)
+            import json as _json
+
+            payload = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                       for k, v in res.items()}
+            payload["backend"] = jax.default_backend()
+            payload["device"] = str(jax.devices()[0])
+            with open(a.split("=", 1)[1], "w") as f:
+                _json.dump(payload, f, indent=1)

@@ -258,6 +258,7 @@ def fit_gplvm_grad(
     lbfgs_steps: int = 8,
     x_prior_cov_scale: float = 100.0,
     W_val: float = 100.0,
+    init_state: "GPLVMState | None" = None,
 ):
     """Gradient-based GPLVM hyperparameter optimization (SURVEY §7.1
     optimizer row: "gradient descent through the (now differentiable) FE",
@@ -272,6 +273,10 @@ def fit_gplvm_grad(
       M-step: ``lbfgs_steps`` L-BFGS iterations on FE(θ; q frozen)
               (:func:`gplvm_free_energy` — generalized EM, so each half-step
               decreases the SAME objective NelderMead probes blindly).
+
+    ``init_state`` warm-starts the mean-field state (resume across epoch
+    chunks — the on-device runs thread it through host checkpoints so long
+    hyperopts stay under the device-tunnel RPC deadline per execution).
 
     Returns (θ, state, fe_trace) with fe_trace[e] = FE after epoch e's
     M-step at the epoch's E-step state."""
@@ -298,13 +303,16 @@ def fit_gplvm_grad(
     N, D = Y.shape
     Din = x_prior_means.shape[1]
     M = Xu.shape[0]
-    Kuu0 = kernel.kuu(theta0, Xu, jitter=JITTER_KUU_SSM)
-    state0 = GPLVMState(
-        x_prior_means,
-        jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
-        jnp.zeros(M * D, dtype=dt),
-        jnp.kron(jnp.eye(D, dtype=dt), Kuu0),
-    )
+    if init_state is not None:
+        state0 = init_state
+    else:
+        Kuu0 = kernel.kuu(theta0, Xu, jitter=JITTER_KUU_SSM)
+        state0 = GPLVMState(
+            x_prior_means,
+            jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
+            jnp.zeros(M * D, dtype=dt),
+            jnp.kron(jnp.eye(D, dtype=dt), Kuu0),
+        )
     (theta, state), fe_trace = jax.lax.scan(
         epoch, (theta0, state0), None, length=epochs
     )
