@@ -36,6 +36,28 @@ class TestRegressorHandle:
                                    rtol=1e-7)
         np.testing.assert_allclose(np.asarray(var), 0.01, rtol=1e-12)
 
+    def test_fused_scan_matches_per_batch_calls(self):
+        """serve_fused (the compute-bound batch-of-batches mode) returns
+        exactly the per-batch predictor means, one dispatch for all rows."""
+        from gaussianprocessnode_tpu.serve import serve_fused, throughput_fused
+
+        rng = np.random.default_rng(5)
+        M, D, B, R = 12, 3, 17, 4
+        Xu = jnp.asarray(rng.standard_normal((M, D)))
+        theta = invsoftplus(jnp.ones(D + 1))
+        mu = jnp.asarray(rng.standard_normal(M))
+        prec = jnp.eye(M) * 2.0
+        pred = SGPRegressor.from_natural(
+            KER, theta, Xu, MvGaussianNat(prec @ mu, prec), w_mean=100.0)
+        Xb = jnp.asarray(rng.standard_normal((R, B, D)))
+        fused = serve_fused(pred, Xb)
+        assert fused.shape == (R, B)
+        for i in range(R):
+            mean_i, _ = pred(Xb[i])
+            np.testing.assert_allclose(np.asarray(fused[i]),
+                                       np.asarray(mean_i), rtol=1e-6)
+        assert throughput_fused(pred, Xb[0], n_batches=3, iters=2) > 0
+
     @pytest.mark.skipif(not os.path.isdir(SAVE), reason="no reference")
     def test_kin40k_golden_through_serving_handle(self):
         """The reference's saved kin40k posterior served through
