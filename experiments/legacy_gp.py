@@ -36,8 +36,15 @@ self-contained GP models, re-designed TPU-first:
 - fitc/sor live in experiments/vsgp_baselines.py (fitc_sor_toy /
   fitc_sor_kin40k) since they share its saved-Xu loaders.
 
+- co2 / btc       the reference's two shipped-but-orphaned real-data files
+                  (data/co2data.csv, BTC-USD.csv — no reference notebook
+                  loads either): Mauna-Loa SDE-GP regression with learned θ
+                  and held-out months, and BTC-USD log-price GPSSM
+                  filtering (D=1 Wishart machinery) with a 1-step-ahead
+                  random-walk comparison. Write benchmarks/*_r4.json.
+
 Usage: python experiments/legacy_gp.py [tprocess] [sde] [fullcov] [pad]
-       [pad2] [padlearn] [control]
+       [pad2] [padlearn] [control] [co2] [btc]
 Plus an opt-in benchmark (not in the default list): `padscale [--tpu]` —
 sequential vs parallel-in-time smoother wall-clock at audio-scale T
 (writes benchmarks/pad_scale_r3.json).
@@ -368,6 +375,207 @@ def run_control(verbose: bool = True):
     return e1, e0
 
 
+def run_co2(verbose: bool = True, holdout_frac: float = 0.15,
+            nlml_steps: int = 300, write_json: bool = True):
+    """Mauna-Loa CO₂ regression on the reference's OWN data file
+    (data/co2data.csv — shipped but consumed by no reference notebook;
+    VERDICT r3 item 6): the monthly series (1958→2024, T≈790) smoothed by
+    the O(T) SDE-GP Matérn-5/2 engine with gradient θ learning through the
+    scan, a random 15% of months held out for evaluation.
+
+    Reports held-out RMSE before/after NLML learning, the learned θ, and
+    the sequential-vs-parallel-in-time smoother agreement on this real
+    series. Writes benchmarks/co2_sde_r4.json."""
+    import json
+
+    import optax
+
+    from gaussianprocessnode_tpu.infer.sde_gp import sde_gp_nlml, sde_gp_smooth
+    from gaussianprocessnode_tpu.utils.datasets import co2
+
+    t_raw, y_raw = co2()
+    mu, sd = float(y_raw.mean()), float(y_raw.std())
+    t = jnp.asarray(t_raw - t_raw[0])
+    y = jnp.asarray((y_raw - mu) / sd)
+    T = t.shape[0]
+    rng = np.random.default_rng(5)
+    held = np.zeros(T, bool)
+    held[rng.permutation(T)[: int(holdout_frac * T)]] = True
+    mask = jnp.asarray(~held)
+    obs_var0 = 1e-3  # init: monthly averages are near-noiseless at std scale
+
+    theta0 = jnp.asarray([1.0, 1.0])  # [σ², ℓ] in years
+    t0 = time.time()
+    res0 = sde_gp_smooth(theta0, t, y, mask, obs_var0)
+
+    # learn the noise variance jointly with θ (log-parametrized): at a
+    # fixed obs_var the NLML optimum trades held-out sharpness for
+    # calibration, and the data's true noise floor is not known a priori
+    opt = optax.adamax(0.05)
+    p0 = jnp.concatenate([theta0, jnp.log(jnp.asarray([obs_var0]))])
+
+    @jax.jit
+    def step(p, os_):
+        g = jax.grad(lambda q: sde_gp_nlml(
+            q[:2], t, y, mask, jnp.exp(q[2])))(p)
+        upd, os_ = opt.update(g, os_, p)
+        return optax.apply_updates(p, upd), os_
+
+    p, os_ = p0, opt.init(p0)
+    for _ in range(nlml_steps):
+        p, os_ = step(p, os_)
+    th, obs_var = p[:2], float(jnp.exp(p[2]))
+    res1 = sde_gp_smooth(th, t, y, mask, obs_var)
+    res1p = sde_gp_smooth(th, t, y, mask, obs_var, parallel=True)
+    agree = float(jnp.max(jnp.abs(res1.mean - res1p.mean)))
+
+    def rmse_ppm(r):
+        d = (np.asarray(r.mean) - np.asarray(y))[held] * sd
+        return float(np.sqrt(np.mean(d**2)))
+
+    out = {
+        "workload": "co2 (data/co2data.csv, orphaned in the reference)",
+        "T": int(T), "held_out_months": int(held.sum()),
+        "rmse_ppm_theta0": round(rmse_ppm(res0), 4),
+        "rmse_ppm_learned": round(rmse_ppm(res1), 4),
+        "theta_learned": [round(float(v), 4) for v in th],
+        "obs_var_learned": obs_var,
+        "log_lik_theta0": round(float(res0.log_lik), 2),
+        "log_lik_learned": round(float(res1.log_lik), 2),
+        "seq_vs_parallel_max_abs": agree,
+        "seconds": round(time.time() - t0, 1),
+        "backend": jax.default_backend(),
+    }
+    if verbose:
+        print(f"[co2] held-out RMSE {out['rmse_ppm_theta0']:.3f} → "
+              f"{out['rmse_ppm_learned']:.3f} ppm after {nlml_steps} NLML "
+              f"steps (θ={out['theta_learned']}, ℓ in years); "
+              f"seq≡parallel to {agree:.2e}; wall {out['seconds']}s")
+    if write_json:
+        path = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "benchmarks", "co2_sde_r4.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
+def run_btc(verbose: bool = True, epochs: int = 40, n_train: int = 300,
+            m_inducing: int = 16, n_test: int | None = None,
+            write_json: bool = True):
+    """BTC-USD GPSSM filtering on the reference's OWN data file
+    (BTC-USD.csv — shipped but consumed by no reference notebook; VERDICT
+    r3 item 6): standardized log-close prices as a D=1 GPSSM with a learned
+    GP transition and Wishart process noise (the Pendulum_Wishart machinery
+    at D=1), hyperopt by L-BFGS on the backward-message objective, then
+    1-step-ahead filtering over the held-out tail.
+
+    The honest metric on an efficient-market series is parity: the filter's
+    1-step-ahead RMSE vs the random-walk baseline (predict y_{t+1}=y_t).
+    Writes benchmarks/btc_gpssm_r4.json."""
+    import json
+
+    from gaussianprocessnode_tpu.dists import MvGaussianNat
+    from gaussianprocessnode_tpu.infer.chain_smoother import (
+        gpssm_vmp, one_step_ahead,
+    )
+    from gaussianprocessnode_tpu.infer.training import lbfgs_solve
+    from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
+    from gaussianprocessnode_tpu.ops.linalg import (
+        chol_lower, chol_solve, cholinv, sum_blocks_weighted, sym,
+    )
+    from gaussianprocessnode_tpu.ops.kernels import invsoftplus, softplus
+    from gaussianprocessnode_tpu.ops.quadrature import SphericalRadial
+    from gaussianprocessnode_tpu.utils.datasets import btc_usd
+
+    _, ohlcv = btc_usd()
+    logp = np.log(ohlcv[:, 3])  # daily close
+    mu, sd = logp[:n_train].mean(), logp[:n_train].std()
+    z = (logp - mu) / sd
+    y_train = jnp.asarray(z[:n_train, None])
+    stop = None if n_test is None else n_train + n_test
+    y_test = jnp.asarray(z[n_train:stop, None])
+    D, M = 1, m_inducing
+
+    kernel = Kernel("se", transform="softplus")
+    theta0 = invsoftplus(jnp.asarray([1.0, 1.0]))
+    lo, hi_ = float(z[:n_train].min()), float(z[:n_train].max())
+    Xu = jnp.linspace(lo - 0.3, hi_ + 0.3, M)[:, None]
+    prior_v = MvGaussianNat(jnp.zeros(M * D), jnp.eye(M * D) / 50.0)
+    prior_x0 = jnp.asarray([float(z[0])])
+    prior_x0_cov = 0.1 * jnp.eye(1)
+    P = 1e-3 * jnp.eye(1)  # log-close is observed nearly noiselessly
+    sr = SphericalRadial()
+
+    def vmp(theta, init_state=None):
+        return gpssm_vmp(kernel, theta, Xu, y_train, P, prior_x0,
+                         prior_x0_cov, prior_v, 100.0, jnp.eye(1),
+                         n_iters=8, init_state=init_state)
+
+    def hyper_objective(theta, y_means, qx_means, qx_covs, sumRv_W, mu_v, W):
+        return neg_log_backwardmess_multi(
+            theta, kernel=kernel, Xu=Xu, y_means=y_means, qx_means=qx_means,
+            qx_covs=qx_covs, sumRv_W=sumRv_W, mu_v=mu_v, W=W, method=sr,
+        )
+
+    @jax.jit
+    def epoch_fn(carry, _):
+        theta, vmp_state = carry
+        state, fe = vmp(theta, init_state=vmp_state)
+        L = chol_lower(sym(state.prec_v))
+        cov_v = sym(chol_solve(L, jnp.eye(M * D)))
+        mu_v = chol_solve(L, state.xi_v)
+        Rv = cov_v + jnp.outer(mu_v, mu_v)
+        W_bar = state.W_df * cholinv(sym(state.W_rate))
+        sumRv_W = sum_blocks_weighted(Rv, W_bar, D, M)
+        theta, _ = lbfgs_solve(
+            lambda th: hyper_objective(
+                th, state.x_means[1:], state.x_means[:-1], state.x_covs[:-1],
+                sumRv_W, mu_v, W_bar),
+            theta, max_steps=25,
+        )
+        return (theta, state), fe
+
+    t0 = time.time()
+    carry = (theta0, None)
+    fes = []
+    for _ in range(epochs):
+        carry, fe = epoch_fn(carry, None)
+        fes.append(float(fe))
+    theta, state = carry
+
+    pred_means, pred_covs = one_step_ahead(kernel, theta, Xu, state, y_test, P)
+    pred = np.asarray(pred_means)[:, 0]
+    truth = np.asarray(y_test)[:, 0]
+    # predict y_t from the filter state BEFORE seeing y_t: pred[i] is the
+    # 1-step-ahead predictive mean for test step i
+    rmse_gp = float(np.sqrt(np.mean((pred - truth) ** 2))) * sd
+    rw = np.concatenate([[z[n_train - 1]], truth[:-1]])
+    rmse_rw = float(np.sqrt(np.mean((rw - truth) ** 2))) * sd
+
+    out = {
+        "workload": "btc-usd (BTC-USD.csv, orphaned in the reference)",
+        "n_train": n_train, "n_test": int(truth.shape[0]), "epochs": epochs,
+        "theta_softplus": [round(float(v), 4) for v in softplus(theta)],
+        "fe_first": round(fes[0], 2), "fe_last": round(fes[-1], 2),
+        "one_step_rmse_logprice_gp": round(rmse_gp, 6),
+        "one_step_rmse_logprice_rw": round(rmse_rw, 6),
+        "rmse_ratio_gp_over_rw": round(rmse_gp / rmse_rw, 4),
+        "seconds": round(time.time() - t0, 1),
+        "backend": jax.default_backend(),
+    }
+    if verbose:
+        print(f"[btc] 1-step-ahead RMSE(log price): GP {rmse_gp:.5f} vs "
+              f"random-walk {rmse_rw:.5f} (ratio "
+              f"{out['rmse_ratio_gp_over_rw']}); FE {fes[0]:.1f} → "
+              f"{fes[-1]:.1f} over {epochs} epochs; wall {out['seconds']}s")
+    if write_json:
+        path = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "benchmarks", "btc_gpssm_r4.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
 def _padscale_workload(T):
     """PAD-shaped smoother inputs: heteroscedastic pseudo-observations with
     a third of the sites inactive (what the EP loop feeds back)."""
@@ -501,4 +709,4 @@ if __name__ == "__main__":
         {"tprocess": run_tprocess, "sde": run_sde,
          "fullcov": run_fullcov, "pad": run_pad, "pad2": run_pad2,
          "padlearn": run_padlearn, "padscale": run_padscale,
-         "control": run_control}[w]()
+         "control": run_control, "co2": run_co2, "btc": run_btc}[w]()

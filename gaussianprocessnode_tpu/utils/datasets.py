@@ -136,18 +136,33 @@ def pendulum_inducing():
 
 
 def co2(root: str = REFERENCE_ROOT):
-    """Mauna-Loa CO₂ series (reference: data/co2data.csv — used by legacy
-    exploratory notebooks only; provided for completeness)."""
+    """Mauna-Loa CO₂ series (reference: data/co2data.csv; 1958–2024 monthly).
+
+    The file is semicolon-delimited with a leading empty column:
+    ``;year;month;decimal-date;monthly-average;de-seasonalized;…``.
+    Returns ``(t, y)``: decimal dates and monthly-average CO₂ (ppm), with
+    missing-value sentinels (≤ 0) dropped.  No reference notebook consumes
+    this file (it ships orphaned next to the multisine GPSSM checkpoint);
+    the real-data regression workload built on it lives in
+    experiments/legacy_gp.py (``--co2``)."""
     raw = np.genfromtxt(os.path.join(root, "data", "co2data.csv"),
-                        delimiter=",", skip_header=1)
-    return raw
+                        delimiter=";", skip_header=1)
+    t, y = raw[:, 3], raw[:, 4]
+    keep = y > 0.0
+    return t[keep], y[keep]
 
 
 def btc_usd(root: str = REFERENCE_ROOT):
-    """BTC-USD daily series (reference: BTC-USD.csv — legacy notebooks)."""
+    """BTC-USD daily OHLC+volume (reference: BTC-USD.csv; 365 rows,
+    2022-10-01 → 2023-09-30).
+
+    Returns ``(t, ohlcv)``: day index (float) and columns
+    (Open, High, Low, Close, Volume).  Like co2data.csv the file is orphaned
+    in the reference (no notebook loads it); the GPSSM filtering workload
+    built on it lives in experiments/legacy_gp.py (``--btc``)."""
     raw = np.genfromtxt(os.path.join(root, "BTC-USD.csv"),
                         delimiter=",", skip_header=1, usecols=(1, 2, 3, 4, 6))
-    return raw
+    return np.arange(raw.shape[0], dtype=np.float64), raw
 
 
 def toy_sinc_reference(root: str = REFERENCE_ROOT):
