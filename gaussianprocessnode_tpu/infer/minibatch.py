@@ -229,6 +229,11 @@ def fit_kin40k(
     hi = jax.lax.Precision.HIGHEST
 
     kuu_jit = effective_jitter(theta0.dtype)
+    # rigorous λmin bound for the per-batch q(v) refresh: Λ = Λ_prior +
+    # Σ w·KKᵀ ⪰ Λ_prior for every batch of every epoch, so the prior's
+    # Gershgorin bound enables the spectrum-scaled iteration (f64 only —
+    # spd_inverse_ns gates it; f32 keeps the classic map bit-for-bit)
+    lam_v = gershgorin_lambda_min(sym(prior_v.prec)).astype(acc_dt)
 
     def make_epoch(ns_iters):  # ns budget is uniform; kept as a closure arg
         def objective(th, Xb, yb, mu_v, Rv, kuu_warm):
@@ -256,7 +261,8 @@ def fit_kin40k(
             prec = carry.prec_v + w_val * jnp.matmul(Kux64, Kux64.T, precision=hi)
             # q(v) inverse in the ACCUMULATOR dtype: κ(Λ) ~ 1e9 exceeds
             # 1/ε₃₂, an f32 estimate poisons Rv and the θ-gradient
-            cov64 = spd_inverse(sym(prec), warm=carry.cov_v, iters=ns_iters)
+            cov64 = spd_inverse(sym(prec), warm=carry.cov_v, iters=ns_iters,
+                                lambda_min=lam_v)
             mu64 = ir_solve(sym(prec), xi, cov64, rounds=3)
             mu_v = mu64.astype(dt)
             Rv = (cov64 + jnp.outer(mu64, mu64)).astype(dt)
@@ -289,9 +295,13 @@ def fit_kin40k(
     if resume_state is not None:
         carry0 = resume_state
     # one scan program for the whole run (a separate warmup-budget scan was
-    # dead weight: both branches used the same 60-iteration NS budget, so a
-    # fresh call compiled the large epoch program twice for no difference)
-    carry, _ = jax.lax.scan(make_epoch(60), carry0, None, length=epochs)
+    # dead weight). Budget 34: the SCALED iteration reaches the unscaled
+    # 60-budget's f64 floor in ~28 cold iterations (DEVIATIONS #22) and the
+    # per-batch refresh usually runs warm-started besides; 34 keeps ~20%
+    # headroom over the cold bound. Verified: the reference-Xu trajectory
+    # parity run reproduces params_optimal_kin40k to the same max|θ−θ*| as
+    # the 60-iteration unscaled budget (benchmarks/kin40k_refxu_r4.json).
+    carry, _ = jax.lax.scan(make_epoch(34), carry0, None, length=epochs)
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 
