@@ -18,15 +18,30 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Keep the persistent compilation cache OFF under pytest. Some tests import
-# experiment modules whose module-level config enables it
-# (jax_compilation_cache_dir = .jax_cache); with it on, serializing /
+# Persistent compilation cache under pytest: OFF in a plain single-process
+# run, ON (own cache dir) when the per-module process runner asks for it.
+#
+# Why off by default: some tests import experiment modules whose
+# module-level config enables the cache (jax_compilation_cache_dir =
+# .jax_cache); with it on in the FULL single-process suite, serializing /
 # deserializing the large multi-device CPU executables of the dp-trainer
 # sharding tests segfaults jaxlib (measured twice, on both the cache-write
 # and cache-read paths, with a fresh cache dir — test_sharding.py passes in
-# isolation where the cache never gets enabled). Experiments and bench keep
-# the cache; tests are hermetic without it.
-jax.config.update("jax_enable_compilation_cache", False)
+# isolation where the cache never gets enabled; DEVIATIONS #25: the crash
+# tracks accumulated in-process compilation state).
+#
+# Why on under tests/run_suite.py (GPN_TEST_CACHE=1): that runner executes
+# each test MODULE in its own process — the isolation that removes the
+# accumulated-state hazard — so cached executables can be reused across
+# runs and the suite drops from ~22 min of recompilation to minutes
+# (VERDICT r3 item 10).
+if os.environ.get("GPN_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest
 
