@@ -144,6 +144,44 @@ class TestGPLVM:
         acc = knn_accuracy(np.asarray(state6.x_means), labels)
         assert acc >= knn_accuracy(mean_X, labels) - 0.05
 
+    def test_fe_monotone_per_sweep_frozen_theta(self):
+        """Per-sweep FE monotonicity at a FROZEN θ (VERDICT r3 weak #5).
+
+        The converged-FE corridor above is weak by necessity (DEVIATIONS
+        #18: Laplace mode flips move converged FE by ~100-300 nats), so the
+        GPLVM path gets a stronger anchor here: with θ frozen, each VMP
+        sweep is a coordinate update of the same Bethe functional
+        (gplvm_free_energy), so the per-sweep FE trace must be
+        non-increasing up to the Laplace approximation's per-site error.
+        A regression that breaks a message/energy term shows up as an FE
+        INCREASE long before it moves the converged corridor."""
+        from experiments.gplvm import pca_2d
+        from gaussianprocessnode_tpu.infer.gplvm import gplvm_vmp
+        from gaussianprocessnode_tpu.utils.datasets import oil_flow
+
+        Y_np, _ = oil_flow(n=120)
+        Y = jnp.asarray(Y_np)
+        mean_X = pca_2d(Y_np)
+        rng = np.random.default_rng(86)
+        Xu = jnp.asarray(mean_X[rng.permutation(len(Y_np))[:20]])
+        theta = jnp.asarray([1.0, 0.6, 0.5])
+
+        fes, state = [], None
+        for _ in range(8):
+            state, fe = gplvm_vmp(
+                KERNEL, theta, Xu, Y, jnp.asarray(mean_X), n_iters=1,
+                init_state=state,
+            )
+            fes.append(float(fe))
+        fes = np.asarray(fes)
+        assert np.all(np.isfinite(fes))
+        # per-sweep: non-increasing up to a relative slack for the Laplace
+        # site approximation (exact coordinate descent would be ≤ 0)
+        increases = np.diff(fes)
+        assert np.all(increases <= 1e-6 * np.abs(fes[:-1]) + 1e-8), fes
+        # and a substantive total descent (not a flat-line pass)
+        assert fes[-1] < fes[0] - 10.0, fes
+
     def test_gradient_hyperopt_beats_neldermead_best_fe(self):
         """FE(grad) ≤ FE(NM) — VERDICT r2 item 2, full oil-flow config.
 
