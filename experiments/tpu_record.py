@@ -51,12 +51,15 @@ WORKLOADS = {
 
 
 def record(name: str, attempts: int = 4, tpu: bool = True,
-           extra_args=()):
+           extra_args=(), resume: bool = False):
+    """``resume=True`` keeps an existing chunk checkpoint so a fresh
+    invocation continues a partially-crashed earlier record instead of
+    restarting from epoch 0 (the per-attempt log still starts fresh)."""
     cfg = WORKLOADS[name]
     tag = "tpu" if tpu else "cpu"
     ck = os.path.join("/tmp", f"{name}_{tag}_r4_ck.npz")
     res_path = os.path.join("/tmp", f"{name}_{tag}_r4_result.json")
-    for p in (ck, res_path):
+    for p in ((res_path,) if resume else (ck, res_path)):
         if os.path.exists(p):
             os.remove(p)
     cmd = [sys.executable, cfg["script"], *cfg["args"],
@@ -74,8 +77,15 @@ def record(name: str, attempts: int = 4, tpu: bool = True,
                                timeout=cfg["timeout"])
             entry["returncode"] = p.returncode
             if p.returncode != 0:
-                tail = (p.stderr.strip().splitlines() or ["?"])[-1]
-                entry["stderr_tail"] = tail[:300]
+                lines = p.stderr.strip().splitlines() or ["?"]
+                # keep the real exception, not just the JAX traceback-filter
+                # notice that ends every filtered traceback
+                entry["stderr_tail"] = "\n".join(lines[-12:])[-1500:]
+                # the experiment prints phase markers to stdout — the tail
+                # locates WHERE in the run the crash happened
+                out = p.stdout.strip().splitlines()
+                if out:
+                    entry["stdout_tail"] = "\n".join(out[-6:])[-600:]
         except subprocess.TimeoutExpired:
             entry["returncode"] = None
             entry["stderr_tail"] = f"timeout {cfg['timeout']}s"
@@ -116,7 +126,7 @@ if __name__ == "__main__":
     for a in sys.argv[2:]:
         if a.startswith("--attempts="):
             attempts = int(a.split("=", 1)[1])
-        elif a not in ("--cpu",):
+        elif a not in ("--cpu", "--resume"):
             extra.append(a)
     record(name, attempts=attempts, tpu="--cpu" not in sys.argv,
-           extra_args=extra)
+           extra_args=extra, resume="--resume" in sys.argv)
