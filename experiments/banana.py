@@ -146,4 +146,16 @@ if __name__ == "__main__":
         from gaussianprocessnode_tpu.utils.jld import load_jld
 
         xu = np.asarray(load_jld("/root/reference/savefiles/Xu_banana.jld"))
-    run(epochs=int(args[0]) if args else 500, xu=xu)
+    res = run(epochs=int(args[0]) if args else 500, xu=xu,
+              warm_timing="--warm" in sys.argv)
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            # machine-readable record for the bench harness (bench.py banana)
+            import json as _json
+
+            payload = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                       for k, v in res.items()}
+            payload["backend"] = jax.default_backend()
+            payload["device"] = str(jax.devices()[0])
+            with open(a.split("=", 1)[1], "w") as f:
+                _json.dump(payload, f, indent=1)
