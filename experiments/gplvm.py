@@ -29,7 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianprocessnode_tpu.infer.gplvm import fit_gplvm_grad, gplvm_vmp
+from gaussianprocessnode_tpu.infer.gplvm import (fit_gplvm_grad,
+                                                 gplvm_init_state, gplvm_vmp)
 from gaussianprocessnode_tpu.ops.kernels import Kernel, softplus
 from gaussianprocessnode_tpu.utils.datasets import oil_flow
 from gaussianprocessnode_tpu.utils.optim import nelder_mead
@@ -79,7 +80,10 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
         # execution and a crashed process resumes from the last chunk
         from gaussianprocessnode_tpu.utils.profiling import block_via_host
 
-        theta, state = theta0, None
+        # explicit cold-start state: keeps every chunk (including the first)
+        # on the SAME jit trace — init_state=None is a separate multi-minute
+        # TPU compile for identical math
+        theta, state = theta0, gplvm_init_state(kernel, theta0, Xu, Y, Xm)
         fe_all = np.zeros(grad_epochs)
         done = 0
         if checkpoint_path and _os.path.exists(checkpoint_path):
@@ -133,7 +137,25 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
         theta, fe_val, history = nelder_mead(fe_obj, theta0, maxiter=nm_iters)
     hyperopt_s = time.time() - t0
 
-    state, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=30)
+    # final 30-iteration inference for q(x) (GPLVM.ipynb cell 22). When the
+    # run is chunk-granular (device mode), split it into 5 warm-started
+    # 6-sweep blocks — chained scans are identical to one 30-sweep scan, and
+    # a single ~30-sweep dispatch is exactly the >300 s-class execution that
+    # crashed the TPU worker in the chunk=5 hyperopt attempts
+    # (benchmarks/gplvm_tpu_r4.json; same mitigation as the pendulum
+    # record's chunked smoothing, DEVIATIONS #28)
+    t_fi = time.time()
+    if chunk is not None and chunk < 30:
+        from gaussianprocessnode_tpu.utils.profiling import block_via_host
+
+        state, fe = gplvm_init_state(kernel, theta, Xu, Y, Xm), None
+        for _ in range(5):
+            state, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=6,
+                                  init_state=state)
+            block_via_host(fe)
+    else:
+        state, fe = gplvm_vmp(kernel, theta, Xu, Y, Xm, n_iters=30)
+    final_infer_s = time.time() - t_fi
     Z = np.asarray(state.x_means)
     acc = knn_accuracy(Z, labels)
     acc_pca = knn_accuracy(mean_X, labels)
@@ -148,6 +170,7 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
     return {"fe": float(fe), "fe_hyperopt": fe_val, "knn_acc": acc,
             "knn_acc_pca": acc_pca, "theta": np.asarray(theta),
             "seconds": hyperopt_s, "device_hyperopt_seconds": device_s,
+            "final_infer_seconds": final_infer_s,
             "fe_trace": history, "latents": Z, "labels": labels}
 
 

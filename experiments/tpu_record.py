@@ -41,11 +41,16 @@ WORKLOADS = {
         "timeout": 3000,
     },
     "gplvm": {
+        # chunk=1: one epoch per dispatch (~1.5 min device time). The
+        # chunk=5 attempts put ~400+ s in a single execution and crashed
+        # the worker every time (3/3, benchmarks/gplvm_tpu_r4.json) while
+        # the pendulum's ≤227 s chunks all survived — a per-execution
+        # duration ceiling, so every dispatch must stay well under it.
         "script": os.path.join(HERE, "gplvm.py"),
-        "args": ["25", "--chunk=5"],
+        "args": ["25", "--chunk=1"],
         "out": os.path.join(REPO, "benchmarks", "gplvm_tpu_r4.json"),
         "reference_seconds": 900.0,
-        "timeout": 3000,
+        "timeout": 4500,
     },
 }
 

@@ -167,6 +167,29 @@ def gplvm_free_energy(
     return U_nodes + U_x + U_v - H_x - H_v
 
 
+def gplvm_init_state(kernel, theta, Xu, Y, x_prior_means) -> "GPLVMState":
+    """The canonical cold-start mean-field state: latents at their PCA prior
+    means with unit covariance, q(v) at the θ-dependent whitened prior
+    (ξ=0, Λ = I_D ⊗ Kuu(θ)) — exactly what :func:`gplvm_vmp` /
+    :func:`fit_gplvm_grad` build internally when ``init_state`` is omitted.
+
+    Exposed so chunked device drivers can pass an EXPLICIT initial state:
+    the ``init_state=None`` and ``init_state=<pytree>`` call signatures are
+    two different jit traces, i.e. two multi-minute TPU compiles for one
+    program's worth of math (experiments/gplvm.py)."""
+    N, D = Y.shape
+    Din = x_prior_means.shape[1]
+    M = Xu.shape[0]
+    dt = Y.dtype
+    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
+    return GPLVMState(
+        x_prior_means,
+        jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
+        jnp.zeros(M * D, dtype=dt),
+        jnp.kron(jnp.eye(D, dtype=dt), Kuu),
+    )
+
+
 @partial(jax.jit, static_argnames=("kernel", "n_iters", "laplace_steps", "compute_fe"))
 def gplvm_vmp(
     kernel,
@@ -231,7 +254,7 @@ def gplvm_vmp(
             jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
             prior_xi_v,
             prior_prec_v,
-        )
+        )  # == gplvm_init_state(kernel, theta, Xu, Y, x_prior_means)
     state, _ = jax.lax.scan(sweep, state0, None, length=n_iters)
 
     fe = jnp.asarray(0.0, dt)
@@ -300,19 +323,10 @@ def fit_gplvm_grad(
                                max_steps=lbfgs_steps)
         return (theta, state), fe_theta(theta, state)
 
-    N, D = Y.shape
-    Din = x_prior_means.shape[1]
-    M = Xu.shape[0]
     if init_state is not None:
         state0 = init_state
     else:
-        Kuu0 = kernel.kuu(theta0, Xu, jitter=JITTER_KUU_SSM)
-        state0 = GPLVMState(
-            x_prior_means,
-            jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
-            jnp.zeros(M * D, dtype=dt),
-            jnp.kron(jnp.eye(D, dtype=dt), Kuu0),
-        )
+        state0 = gplvm_init_state(kernel, theta0, Xu, Y, x_prior_means)
     (theta, state), fe_trace = jax.lax.scan(
         epoch, (theta0, state0), None, length=epochs
     )
