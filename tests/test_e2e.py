@@ -144,6 +144,30 @@ class TestGPLVM:
         acc = knn_accuracy(np.asarray(state6.x_means), labels)
         assert acc >= knn_accuracy(mean_X, labels) - 0.05
 
+    def test_explicit_init_state_is_the_cold_start(self):
+        """gplvm_init_state(...) passed explicitly must be BIT-identical to
+        omitting init_state: the chunked device drivers rely on this to keep
+        every chunk on one jit trace (experiments/gplvm.py; the
+        init_state=None signature is a separate multi-minute TPU compile)."""
+        from experiments.gplvm import pca_2d
+        from gaussianprocessnode_tpu.infer.gplvm import (gplvm_init_state,
+                                                         gplvm_vmp)
+        from gaussianprocessnode_tpu.utils.datasets import oil_flow
+
+        Y_np, _ = oil_flow(n=60)
+        Y = jnp.asarray(Y_np)
+        mean_X = jnp.asarray(pca_2d(Y_np))
+        rng = np.random.default_rng(86)
+        Xu = jnp.asarray(np.asarray(mean_X)[rng.permutation(len(Y_np))[:12]])
+        theta = jnp.asarray([1.0, 0.6, 0.5])
+        s0 = gplvm_init_state(KERNEL, theta, Xu, Y, mean_X)
+        st_a, fe_a = gplvm_vmp(KERNEL, theta, Xu, Y, mean_X, n_iters=2)
+        st_b, fe_b = gplvm_vmp(KERNEL, theta, Xu, Y, mean_X, n_iters=2,
+                               init_state=s0)
+        assert float(fe_a) == float(fe_b)
+        for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fe_monotone_per_sweep_frozen_theta(self):
         """Per-sweep FE monotonicity at a FROZEN θ (VERDICT r3 weak #5).
 
