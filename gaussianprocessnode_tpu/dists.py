@@ -35,6 +35,7 @@ __all__ = [
     "wishart_mean_logdet",
     "gaussian_entropy",
     "mv_gaussian_entropy",
+    "mv_gaussian_entropy_from_prec",
     "gamma_entropy",
     "wishart_entropy",
 ]
@@ -188,6 +189,23 @@ def mv_gaussian_entropy(q: MvGaussian):
 
     d = q.mean.shape[-1]
     return 0.5 * (d * (_LOG2PI + 1.0) + logdet_from_chol(chol_lower(sym(q.cov))))
+
+
+def mv_gaussian_entropy_from_prec(prec: jax.Array):
+    """Entropy of N(·, Λ⁻¹) directly from the precision Λ:
+    ½(d(1+log 2π) − logdet Λ).
+
+    Numerically preferable whenever Λ is the quantity actually held (natural
+    parameterization): chol(Λ) factors the exactly-SPD matrix, while the
+    ``mv_gaussian_entropy(cov)`` route Choleskys an APPROXIMATE inverse whose
+    rounding can leave it indefinite — measured NaN at κ(Λ) ≈ 1e10 for the
+    converged GPLVM q(v) on the TPU backend's emulated f64 while the same
+    state is finite on CPU (DEVIATIONS #30)."""
+    from .ops.linalg import chol_lower, logdet_from_chol, sym
+
+    d = prec.shape[-1]
+    return 0.5 * (d * (_LOG2PI + 1.0)
+                  - logdet_from_chol(chol_lower(sym(prec))))
 
 
 def gamma_entropy(q: GammaShapeRate):

@@ -33,7 +33,6 @@ from ..dists import (
     gamma_mean,
     gamma_mean_log,
     gaussian_entropy,
-    mv_gaussian_entropy,
     mv_nat_to_meancov,
 )
 from ..nodes import probit as probit_node
@@ -157,8 +156,12 @@ def regression_vmp(
         # prior on v: recover (μ_p, Σ_p) from natural parameterization
         qp = mv_nat_to_meancov(prior_v)
         mu_p, cov_p = qp.mean, qp.cov
-        fe = node_e + prior_energy_mvn(mu_v, cov_v, mu_p, cov_p) - mv_gaussian_entropy(
-            MvGaussian(mu_v, cov_v)
+        # q(v) entropy from the held natural precision's Cholesky (Lprec) —
+        # exactly-SPD work; the cov-route choleskys the approximate inverse
+        # (measured NaN at κ ~ 1e10 on the TPU backend, DEVIATIONS #30)
+        M_v = mu_v.shape[0]
+        fe = node_e + prior_energy_mvn(mu_v, cov_v, mu_p, cov_p) - 0.5 * (
+            M_v * (_LOG2PI + 1.0) - logdet_from_chol(Lprec)
         )
         if w_fixed is None:
             fe = fe + prior_energy_gamma(a0, b0, qw) - gamma_entropy(qw)
@@ -237,7 +240,7 @@ def classification_vmp(
     w_mean = a_w / b_w
     vmsg = unisgp.v_message_batch_exact(Kux, f_mean, w_mean)
     nat = MvGaussianNat(prior_v.xi + vmsg.xi, prior_v.prec + vmsg.prec)
-    mu_v, cov_v, Uv, _ = _qv_from_nat(nat)
+    mu_v, cov_v, Uv, Lprec = _qv_from_nat(nat)
     qw = GammaShapeRate(a_w, b_w)
     qf = Gaussian(f_mean, f_var)
 
@@ -256,7 +259,8 @@ def classification_vmp(
             + probit_e
             + prior_energy_mvn(mu_v, cov_v, mu_p, cov_p)
             + prior_energy_gamma(a0, b0, qw)
-            - mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+            # entropy from Lprec (see the regression FE above / DEVIATIONS #30)
+            - 0.5 * (mu_v.shape[0] * (_LOG2PI + 1.0) - logdet_from_chol(Lprec))
             - gamma_entropy(qw)
             - jnp.sum(jax.vmap(lambda m, v: gaussian_entropy(Gaussian(m, v)))(f_mean, f_var))
         )

@@ -33,6 +33,7 @@ from ..dists import (
     WishartFast,
     _mv_gammaln,
     mv_gaussian_entropy,
+    mv_gaussian_entropy_from_prec,
     mv_nat_to_meancov,
     wishart_entropy,
     wishart_mean,
@@ -172,7 +173,10 @@ def chain_fe_terms(kernel, theta, Xu, Kuu_inv, ys_loc, Pobs, prior_x0_mean,
         - nu0 / 2.0 * ld_S0
         - _mv_gammaln(nu0 / 2.0, D)
     )
-    H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+    # q(v) entropy from the held natural precision — Cholesky of the
+    # exactly-SPD Λ_v, not of its approximate inverse (the cov-route NaN'd
+    # at κ ~ 1e10 under the TPU backend's emulated f64; DEVIATIONS #30)
+    H_v = mv_gaussian_entropy_from_prec(sym(prec_v))
     H_W = wishart_entropy(qW)
     return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
 

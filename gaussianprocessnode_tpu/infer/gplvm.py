@@ -25,11 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import JITTER_KUU_SSM
-from ..dists import MvGaussian, MvGaussianNat, mv_gaussian_entropy, mv_nat_to_meancov
+from ..dists import (MvGaussian, MvGaussianNat, mv_gaussian_entropy,
+                     mv_gaussian_entropy_from_prec, mv_nat_to_meancov)
 from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
-from ..ops.linalg import cholinv, sym
+from ..ops.linalg import chol_lower, cholinv, logdet_from_chol, sym
 from .batch_vmp import prior_energy_mvn
 
 _LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
@@ -154,16 +155,25 @@ def gplvm_free_energy(
             )
         )(state.x_means, state.x_covs, x_prior_means)
     )
-    prior_prec_v = jnp.kron(jnp.eye(D, dtype=dt), Kuu)
-    U_v = prior_energy_mvn(
-        mu_v, cov_v, jnp.zeros(M * D, dtype=dt), cholinv(sym(prior_prec_v))
-    )
+    # v-prior energy −E_q[log N(v; 0, (I_D ⊗ Kuu)⁻¹)] in Kronecker-structured
+    # precision form: logdet(I⊗Kuu) = D·logdet Kuu (one M×M Cholesky) and
+    # tr((I⊗Kuu)(Σ_v + μμᵀ)) = Σ_d [tr(Kuu Σ_dd) + μ_dᵀ Kuu μ_d]. The
+    # former route — chol of cholinv(kron(I, Kuu)), a (MD)×(MD) approximate
+    # inverse at κ(Kuu) ~ 1e10 — NaN'd under the TPU backend's emulated f64
+    # (DEVIATIONS #30) and paid an O((MD)³) inverse inside the AD'd M-step.
+    Lk = chol_lower(sym(Kuu))
+    R = cov_v + jnp.outer(mu_v, mu_v)
+    Rblk = R.reshape(D, M, D, M)
+    tr_prior = jnp.einsum("mn,dnm->", Kuu, Rblk[jnp.arange(D), :, jnp.arange(D), :])
+    U_v = 0.5 * (M * D * _LOG2PI - D * logdet_from_chol(Lk) + tr_prior)
     H_x = jnp.sum(
         jax.vmap(lambda m, V: mv_gaussian_entropy(MvGaussian(m, V)))(
             state.x_means, state.x_covs
         )
     )
-    H_v = mv_gaussian_entropy(MvGaussian(mu_v, cov_v))
+    # entropy from the held natural precision (exactly-SPD Cholesky), not
+    # from its approximate inverse — the measured TPU NaN site
+    H_v = mv_gaussian_entropy_from_prec(sym(state.prec_v))
     return U_nodes + U_x + U_v - H_x - H_v
 
 
