@@ -116,10 +116,16 @@ def bench_one(T: int, *, n_pit: int = 6, n_polish: int = 30,
     # (compile pass on a throwaway cold chunk)
     st_c, fe_c = jacobi()
     block_via_host(fe_c)
-    target = fe_pit + fe_tol
+    # NaN-robust target: if the PIT FE is non-finite (recorded as such, not
+    # crashed — a device-precision failure IS a result), race Jacobi to its
+    # own converged FE instead so the row still carries both engines
+    target = fe_pit + fe_tol if np.isfinite(fe_pit) else -np.inf
     state_j, sweeps, jac_s = None, 0, 0.0
-    fe_j = float("inf")
-    while sweeps < sweep_cap and fe_j > target:
+    fe_j, fe_prev = float("inf"), float("inf")
+    while state_j is None or (sweeps < sweep_cap and fe_j > target
+                              and fe_prev - fe_j > (0 if np.isfinite(fe_pit)
+                                                    else fe_tol)):
+        fe_prev = fe_j
         t0 = time.time()
         state_j, fe = jacobi(init_state=state_j)
         block_via_host(fe)
@@ -138,21 +144,24 @@ def bench_one(T: int, *, n_pit: int = 6, n_polish: int = 30,
     block_via_host(fe)
     sweep_ms = (time.time() - t0) / 10 * 1e3
 
+    def _f(x, nd):  # non-finite → None: the JSON stays valid and honest
+        return round(x, nd) if np.isfinite(x) else None
+
     row = {
         "T": T,
         "pit_seconds": round(pit_s, 3),
-        "pit_fe": round(fe_pit, 3),
-        "pit_fixed_point_resid_nats": round(fp_resid, 4),
-        "pit_smse": [round(s, 6) for s in sm],
+        "pit_fe": _f(fe_pit, 3),
+        "pit_fixed_point_resid_nats": _f(fp_resid, 4),
+        "pit_smse": [_f(s, 6) for s in sm],
         "pit_sweeps": [n_pit, n_polish],
         "jacobi_seconds_to_pit_fe": round(jac_s, 3),
         "jacobi_sweeps": sweeps,
-        "jacobi_fe": round(fe_j, 3),
-        "jacobi_fe_gap": round(fe_j - fe_pit, 3),
+        "jacobi_fe": _f(fe_j, 3),
+        "jacobi_fe_gap": _f(fe_j - fe_pit, 3),
         "jacobi_converged": bool(fe_j <= target),
-        "jacobi_smse": [round(s, 6) for s in sm_j],
+        "jacobi_smse": [_f(s, 6) for s in sm_j],
         "jacobi_sweep_ms": round(sweep_ms, 2),
-        "speedup_to_fixed_point": round(jac_s / pit_s, 1),
+        "speedup_to_fixed_point": _f(jac_s / pit_s, 1),
     }
     return row
 

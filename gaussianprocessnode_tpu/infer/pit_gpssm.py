@@ -215,6 +215,17 @@ def _pit_sweeps(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
         # transition noise = the VMP out-message's W̄⁻¹ plus the SLR residual
         sm, sP = parallel_lgssm_smooth(
             A, b, omega + W_inv, prior_x0_mean, prior_x0_cov, ys, P)
+        # SPD floor on the smoothed covariances (relative 1e-9 diagonal
+        # lift, the slr_transition jitter pattern): the smoother gain's
+        # fP − G·Pp·Gᵀ cancellation can leave tiny NEGATIVE eigenvalues at
+        # reduced effective precision — on the TPU backend's emulated f64
+        # these NaN the next consumer Cholesky (sigma points in the Ψ-stats
+        # and the next sweep's SLR) while CPU f64 happens to stay positive;
+        # measured at T=2048 (benchmarks/pit_gpssm_tpu_r4.json r4 debug).
+        # 1e-9-relative is far inside the fixed point's tolerance and the
+        # polish sweeps (exact Jacobi) are unaffected.
+        trP = jnp.trace(sP, axis1=-2, axis2=-1)[..., None, None]
+        sP = sP + 1e-9 * jnp.maximum(trP, 1e-6) * jnp.eye(D, dtype=dt)
         xi_v, prec_v, W_df, W_rate = chain_qv_qw_updates(
             kernel, theta, Xu, sr, kernel_kuu_inv, prior_v, S0_inv,
             prior_W_df, T, sm[:-1], sP[:-1], sm[1:], sP[1:], W_mean, dt,
