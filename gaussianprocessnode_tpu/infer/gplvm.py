@@ -30,7 +30,7 @@ from ..dists import (MvGaussian, MvGaussianNat, mv_gaussian_entropy,
 from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad
-from ..ops.linalg import chol_lower, cholinv, logdet_from_chol, sym
+from ..ops.linalg import chol_lower, chol_solve, cholinv, logdet_from_chol, sym
 from .batch_vmp import prior_energy_mvn
 
 _LOG2PI = math.log(2.0 * math.pi)  # pure-host constant: a jnp op here
@@ -52,6 +52,27 @@ def _qv_stats(xi, prec):
     return q.mean, q.cov
 
 
+def _qv_stats_kron(xi, prec, M, D):
+    """q(v) moments through the GPLVM family's EXACT Kronecker structure.
+
+    In this model (C = I coregionalization, W = w·I PointMass — GPLVM.ipynb
+    cell 12) every producer of the held precision (:func:`gplvm_vmp`,
+    :func:`gplvm_init_state`) builds Λ_v = I_D⊗Kuu + (w·I_D)⊗ΣΨ2 =
+    I_D ⊗ B with B = Kuu + w·ΣΨ2, so the (M·D)³ factorization collapses to
+    ONE M×M Cholesky: μ_d = B⁻¹ξ_d per output block, Σ_v = I_D ⊗ B⁻¹,
+    logdet Λ_v = D·logdet B. Besides the D³ FLOP cut (the 360×360
+    Choleskys dominated the on-device M-step, DEVIATIONS #30), the small
+    factorization is the numerically stronger route under the TPU
+    backend's emulated f64. Returns ``(mu_v, Binv, Lb)`` with ``Lb`` the
+    Cholesky factor of B. Requires a kron-structured precision — states
+    hand-built with a non-spherical W are outside this model family."""
+    B = sym(prec[:M, :M])
+    Lb = chol_lower(B)
+    Binv = sym(chol_solve(Lb, jnp.eye(M, dtype=xi.dtype)))
+    mu = chol_solve(Lb, xi.reshape(D, M).T).T.reshape(-1)
+    return mu, Binv, Lb
+
+
 def make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v, W, x_prior_prec,
                   laplace_steps):
     """The GPLVM latent update at FROZEN v-statistics — the one shared
@@ -67,13 +88,13 @@ def make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v, W, x_prior_prec,
     M = Xu.shape[0]
     D = W.shape[0]
     tr_W = jnp.trace(W)
-    mu_v, cov_v = _qv_stats(xi_v, prec_v)
-    Rv = cov_v + jnp.outer(mu_v, mu_v)
-    from ..ops.linalg import sum_blocks_weighted
-
-    sumRv_W = sum_blocks_weighted(Rv, W, D, M)
-    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+    # kron-structured q(v) (Λ_v = I_D ⊗ B, _qv_stats_kron): the Σ_v part of
+    # Σᵢⱼ Wᵢⱼ·Rv[i,j] is block-diagonal, so sumRv_W = tr(W)·B⁻¹ + Σᵢⱼ Wᵢⱼ μᵢμⱼᵀ
+    mu_v, Binv, _ = _qv_stats_kron(xi_v, prec_v, M, D)
     mu_blocks = _split_blocks(mu_v, M, D)
+    sumRv_W = tr_W * Binv + jnp.einsum(
+        "ij,im,jn->mn", W, mu_blocks, mu_blocks)
+    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
 
     def update_x(y_i, m_init, xi_p):
         sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
@@ -127,18 +148,45 @@ def gplvm_free_energy(
     (:func:`gplvm_vmp` sweeps) decreases FE over q at fixed θ, this
     objective's gradient steps decrease it over θ at fixed q — the same
     FE the reference minimizes derivative-free by NelderMead
-    (GPLVM.ipynb cells 16-17)."""
+    (GPLVM.ipynb cells 16-17).
+
+    Split as :func:`gplvm_fe_theta_terms` (θ-dependent: node energies +
+    v-prior energy) + :func:`gplvm_fe_const_terms` (θ-independent at frozen
+    q: latent prior energies and all entropies) so the M-step L-BFGS can
+    differentiate ONLY the θ-terms — the old single-body form re-ran every
+    q(v) factorization inside each objective/gradient eval of the AD loop,
+    the dominant on-device M-step cost (DEVIATIONS #30)."""
+    M = Xu.shape[0]
+    D = Y.shape[1]
+    mu_v, Binv, Lb = _qv_stats_kron(state.xi_v, state.prec_v, M, D)
+    cov_v = jnp.kron(jnp.eye(D, dtype=Y.dtype), Binv)
+    mub = _split_blocks(mu_v, M, D)
+    R_diag_sum = D * Binv + jnp.einsum("dm,dn->mn", mub, mub)
+    return gplvm_fe_theta_terms(
+        kernel, theta, Xu, Y, state.x_means, state.x_covs, mu_v, cov_v,
+        R_diag_sum, W_val,
+    ) + gplvm_fe_const_terms(state, x_prior_means, Lb, x_prior_cov_scale)
+
+
+def gplvm_fe_theta_terms(kernel, theta, Xu, Y, x_means, x_covs, mu_v, cov_v,
+                         R_diag_sum, W_val: float = 100.0):
+    """The θ-dependent half of the GPLVM Bethe FE at frozen q: Σ node
+    average energies (θ through the cubature Ψ-statistics) + the v-prior
+    energy −E_q[log N(v; 0, (I_D ⊗ Kuu(θ))⁻¹)] in Kronecker precision
+    form: logdet(I⊗Kuu) = D·logdet Kuu (one M×M Cholesky) and
+    tr((I⊗Kuu)·R_v) = tr(Kuu · Σ_d R_dd), with ``R_diag_sum`` = Σ_d R_dd =
+    D·B⁻¹ + Σ_d μ_dμ_dᵀ precomputed from the frozen q(v)
+    (:func:`_qv_stats_kron`). This is the whole M-step objective — the
+    q(v) moments enter as closed-over constants, so no (M·D)-sized
+    factorization is traced into the AD loop."""
     N, D = Y.shape
-    Din = x_prior_means.shape[1]
     M = Xu.shape[0]
     dt = Y.dtype
     sr = quad.SphericalRadial()
-
     Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
     Kuu_inv = cholinv(Kuu)
     args = MultiSGPArgs(theta, Xu, Kuu_inv)
     W = W_val * jnp.eye(D, dtype=dt)
-    mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
     logdetW = D * jnp.log(jnp.asarray(W_val, dt))
 
     def node_e(y_i, m_i, V_i):
@@ -147,7 +195,24 @@ def gplvm_free_energy(
             mu_v, cov_v, W, logdetW,
         )
 
-    U_nodes = jnp.sum(jax.vmap(node_e)(Y, state.x_means, state.x_covs))
+    U_nodes = jnp.sum(jax.vmap(node_e)(Y, x_means, x_covs))
+    Lk = chol_lower(sym(Kuu))
+    tr_prior = jnp.einsum("mn,nm->", Kuu, R_diag_sum)
+    U_v = 0.5 * (M * D * _LOG2PI - D * logdet_from_chol(Lk) + tr_prior)
+    return U_nodes + U_v
+
+
+def gplvm_fe_const_terms(state: "GPLVMState", x_prior_means, Lb,
+                         x_prior_cov_scale: float = 100.0):
+    """The θ-independent half of the GPLVM Bethe FE at frozen q: latent
+    prior energies U_x minus the entropies H_x + H_v. ``Lb`` is the M×M
+    Cholesky factor of the q(v) precision's Kronecker block
+    (:func:`_qv_stats_kron`), giving H_v = (MD/2)(1+log2π) − (D/2)·logdet B
+    — the exactly-SPD precision route of DEVIATIONS #30 at 1/D³ the cost."""
+    N, Din = state.x_means.shape
+    M = Lb.shape[0]
+    D = state.xi_v.shape[0] // M
+    dt = state.x_means.dtype
     U_x = jnp.sum(
         jax.vmap(
             lambda m, V, mp: prior_energy_mvn(
@@ -155,26 +220,13 @@ def gplvm_free_energy(
             )
         )(state.x_means, state.x_covs, x_prior_means)
     )
-    # v-prior energy −E_q[log N(v; 0, (I_D ⊗ Kuu)⁻¹)] in Kronecker-structured
-    # precision form: logdet(I⊗Kuu) = D·logdet Kuu (one M×M Cholesky) and
-    # tr((I⊗Kuu)(Σ_v + μμᵀ)) = Σ_d [tr(Kuu Σ_dd) + μ_dᵀ Kuu μ_d]. The
-    # former route — chol of cholinv(kron(I, Kuu)), a (MD)×(MD) approximate
-    # inverse at κ(Kuu) ~ 1e10 — NaN'd under the TPU backend's emulated f64
-    # (DEVIATIONS #30) and paid an O((MD)³) inverse inside the AD'd M-step.
-    Lk = chol_lower(sym(Kuu))
-    R = cov_v + jnp.outer(mu_v, mu_v)
-    Rblk = R.reshape(D, M, D, M)
-    tr_prior = jnp.einsum("mn,dnm->", Kuu, Rblk[jnp.arange(D), :, jnp.arange(D), :])
-    U_v = 0.5 * (M * D * _LOG2PI - D * logdet_from_chol(Lk) + tr_prior)
     H_x = jnp.sum(
         jax.vmap(lambda m, V: mv_gaussian_entropy(MvGaussian(m, V)))(
             state.x_means, state.x_covs
         )
     )
-    # entropy from the held natural precision (exactly-SPD Cholesky), not
-    # from its approximate inverse — the measured TPU NaN site
-    H_v = mv_gaussian_entropy_from_prec(sym(state.prec_v))
-    return U_nodes + U_x + U_v - H_x - H_v
+    H_v = 0.5 * M * D * (1.0 + _LOG2PI) - 0.5 * D * logdet_from_chol(Lb)
+    return U_x - H_x - H_v
 
 
 def gplvm_init_state(kernel, theta, Xu, Y, x_prior_means) -> "GPLVMState":
@@ -314,11 +366,8 @@ def fit_gplvm_grad(
     Returns (θ, state, fe_trace) with fe_trace[e] = FE after epoch e's
     M-step at the epoch's E-step state."""
     dt = Y.dtype
-
-    def fe_theta(th, state):
-        return gplvm_free_energy(
-            kernel, th, Xu, Y, state, x_prior_means, x_prior_cov_scale, W_val
-        )
+    M = Xu.shape[0]
+    D = Y.shape[1]
 
     def epoch(carry, _):
         theta, state = carry
@@ -329,9 +378,27 @@ def fit_gplvm_grad(
         )
         from .training import lbfgs_solve
 
-        theta, _ = lbfgs_solve(lambda th: fe_theta(th, state), theta,
-                               max_steps=lbfgs_steps)
-        return (theta, state), fe_theta(theta, state)
+        # frozen-q M-step: factor the epoch's q(v) ONCE (M×M Kronecker
+        # block) and close the moments over the L-BFGS objective — only the
+        # θ-terms of the FE are evaluated/differentiated per line-search
+        # step; the θ-constant terms (U_x − H_x − H_v) are added back for
+        # the reported FE. Same minimizer (a constant shift), and it
+        # removes every q(v) factorization from inside the AD loop.
+        mu_v, Binv, Lb = _qv_stats_kron(state.xi_v, state.prec_v, M, D)
+        cov_v = jnp.kron(jnp.eye(D, dtype=dt), Binv)
+        mub = _split_blocks(mu_v, M, D)
+        R_diag_sum = D * Binv + jnp.einsum("dm,dn->mn", mub, mub)
+        const = gplvm_fe_const_terms(state, x_prior_means, Lb,
+                                     x_prior_cov_scale)
+
+        def obj(th):
+            return gplvm_fe_theta_terms(
+                kernel, th, Xu, Y, state.x_means, state.x_covs, mu_v, cov_v,
+                R_diag_sum, W_val,
+            )
+
+        theta, _ = lbfgs_solve(obj, theta, max_steps=lbfgs_steps)
+        return (theta, state), obj(theta) + const
 
     if init_state is not None:
         state0 = init_state
