@@ -61,7 +61,7 @@ from gaussianprocessnode_tpu.utils.profiling import block_via_host
 
 OUT_DEFAULT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "benchmarks", "pit_gpssm_tpu_r4.json",
+    "benchmarks", "pit_gpssm_r5.json",
 )
 
 
@@ -122,9 +122,13 @@ def bench_one(T: int, *, n_pit: int = 6, n_polish: int = 30,
     target = fe_pit + fe_tol if np.isfinite(fe_pit) else -np.inf
     state_j, sweeps, jac_s = None, 0, 0.0
     fe_j, fe_prev = float("inf"), float("inf")
+    # Stall exit: 2 consecutive chunks improving by ≤ fe_tol/10 (finite
+    # target) or ≤ fe_tol (NaN-target race). A single float-noise FE uptick
+    # near the target must NOT abort the race (advisor r4 finding #1).
+    stall_tol = fe_tol / 10 if np.isfinite(fe_pit) else fe_tol
+    stalled = 0
     while state_j is None or (sweeps < sweep_cap and fe_j > target
-                              and fe_prev - fe_j > (0 if np.isfinite(fe_pit)
-                                                    else fe_tol)):
+                              and stalled < 2):
         fe_prev = fe_j
         t0 = time.time()
         state_j, fe = jacobi(init_state=state_j)
@@ -132,6 +136,7 @@ def bench_one(T: int, *, n_pit: int = 6, n_polish: int = 30,
         jac_s += time.time() - t0
         sweeps += jacobi_chunk
         fe_j = float(fe)
+        stalled = stalled + 1 if fe_prev - fe_j <= stall_tol else 0
         if verbose:
             print(f"[T={T}] jacobi: {sweeps} sweeps  FE={fe_j:.2f} "
                   f"(target {target:.2f})  {jac_s:.1f}s", flush=True)

@@ -19,7 +19,7 @@ rate belongs to a verified predictor.
   python experiments/serving_bench.py --tpu      # the record
   python experiments/serving_bench.py            # CPU smoke
 
-Writes benchmarks/serving_throughput_r4.json.
+Writes benchmarks/serving_throughput_r5.json.
 """
 
 import os as _os
@@ -51,15 +51,17 @@ from gaussianprocessnode_tpu.utils.metrics import smse
 
 SAVE = "/root/reference/savefiles"
 OUT = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                    "benchmarks", "serving_throughput_r4.json")
+                    "benchmarks", "serving_throughput_r5.json")
 
 
 def build_handle():
     qv = load_jld(_os.path.join(SAVE, "qv_kin40k.jld"))
-    mu = jnp.asarray(np.asarray(qv["μ_"]))
-    Sig = jnp.asarray(np.asarray(qv["Σ_"]))
-    prec = jnp.linalg.inv(0.5 * (Sig + Sig.T))
-    nat = MvGaussianNat(prec @ mu, prec)
+    mu = np.asarray(qv["μ_"])
+    Sig = np.asarray(qv["Σ_"])
+    # host-side one-time build step: numpy, not jnp — TPU XLA has no f64
+    # LuDecomposition (jnp.linalg.inv crashed the r4-attempted record here)
+    prec = np.linalg.inv(0.5 * (Sig + Sig.T))
+    nat = MvGaussianNat(jnp.asarray(prec @ mu), jnp.asarray(prec))
     theta = jnp.asarray(np.asarray(
         load_jld(_os.path.join(SAVE, "params_optimal_kin40k.jld"))))
     Xu = jnp.asarray(np.asarray(load_jld(_os.path.join(SAVE, "Xu_kin40k.jld"))))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import JITTER_KUU_SSM
 from ..dists import (MvGaussian, MvGaussianNat, mv_gaussian_entropy,
-                     mv_gaussian_entropy_from_prec, mv_nat_to_meancov)
+                     mv_nat_to_meancov)
 from ..nodes.multisgp import MultiSGPArgs, _split_blocks, average_energy
 from ..ops import psi as psiops
 from ..ops import quadrature as quad

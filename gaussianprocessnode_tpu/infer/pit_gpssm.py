@@ -221,7 +221,7 @@ def _pit_sweeps(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
         # reduced effective precision — on the TPU backend's emulated f64
         # these NaN the next consumer Cholesky (sigma points in the Ψ-stats
         # and the next sweep's SLR) while CPU f64 happens to stay positive;
-        # measured at T=2048 (benchmarks/pit_gpssm_tpu_r4.json r4 debug).
+        # measured at T=2048 (benchmarks/pit_gpssm_r5.json r4 debug).
         # 1e-9-relative is far inside the fixed point's tolerance and the
         # polish sweeps (exact Jacobi) are unaffected.
         trP = jnp.trace(sP, axis1=-2, axis2=-1)[..., None, None]

@@ -154,16 +154,21 @@ class GPSSMFilter:
                              jnp.asarray(ys, self.dtype), carry)
 
 
-@partial(jax.jit, static_argnames=("kernel",))
-def _predict_scan(kernel, theta, Xu, mu_v, X_batches):
+@partial(jax.jit, static_argnames=("kernel", "w_mean", "probit"))
+def _predict_scan(kernel, theta, Xu, mu_v, X_batches, w_mean, probit):
     """R request batches served by ONE on-device program: `lax.scan` over
-    the leading batch axis of (R, B, Din) → (R, B) predictive means."""
+    the leading batch axis of (R, B, Din). Each step runs the SAME rule
+    body as the per-batch handles (predict_out / predict_probit), so rows
+    are exactly the per-batch results — (means, vars) of shape (R, B)
+    each, or (R, B) probit probabilities."""
 
     def step(_, Xb):
-        return None, (kernel(theta, Xu, Xb).T @ mu_v)
+        if probit:
+            return None, predict_probit(kernel, theta, Xu, Xb, mu_v, w_mean)
+        return None, predict_out(kernel, theta, Xu, Xb, mu_v, w_mean)
 
-    _, means = jax.lax.scan(step, None, X_batches)
-    return means
+    _, out = jax.lax.scan(step, None, X_batches)
+    return out
 
 
 def serve_fused(predictor, X_batches):
@@ -172,13 +177,17 @@ def serve_fused(predictor, X_batches):
     scanned executable, so throughput is pinned by the chip's Gram+matvec
     rate instead of the per-call dispatch latency that makes the
     single-batch path vary 6–23M preds/s with tunnel weather (DEVIATIONS
-    #19). Each row's means equal ``predictor(X_batches[i])[0]`` exactly
-    (tests/test_serve.py). Works for SGPRegressor and SGPClassifier (the
-    probit Φ is a cheap elementwise epilogue the caller can apply to the
-    returned means if probabilities are needed)."""
+    #19). A drop-in for the per-batch handles' contract, dispatched on the
+    handle type: for :class:`SGPRegressor` returns ``(means, vars)`` with
+    row i exactly equal to ``predictor(X_batches[i])``; for
+    :class:`SGPClassifier` returns (R, B) probabilities with row i exactly
+    equal to ``predictor.probabilities(X_batches[i])`` (the probit Φ
+    epilogue runs inside the scanned program). Exact equality is tested in
+    tests/test_serve.py."""
     X = jnp.asarray(X_batches, predictor.Xu.dtype)
     return _predict_scan(predictor.kernel, predictor.theta, predictor.Xu,
-                         predictor.mu_v, X)
+                         predictor.mu_v, X, predictor.w_mean,
+                         isinstance(predictor, SGPClassifier))
 
 
 def throughput_fused(predictor, X_test, n_batches: int = 64,

@@ -37,8 +37,9 @@ class TestRegressorHandle:
         np.testing.assert_allclose(np.asarray(var), 0.01, rtol=1e-12)
 
     def test_fused_scan_matches_per_batch_calls(self):
-        """serve_fused (the compute-bound batch-of-batches mode) returns
-        exactly the per-batch predictor means, one dispatch for all rows."""
+        """serve_fused (the compute-bound batch-of-batches mode) is a
+        drop-in for the per-batch handle: (means, vars) rows EXACTLY equal
+        to predictor(X_batches[i]), one dispatch for all rows."""
         from gaussianprocessnode_tpu.serve import serve_fused, throughput_fused
 
         rng = np.random.default_rng(5)
@@ -50,13 +51,43 @@ class TestRegressorHandle:
         pred = SGPRegressor.from_natural(
             KER, theta, Xu, MvGaussianNat(prec @ mu, prec), w_mean=100.0)
         Xb = jnp.asarray(rng.standard_normal((R, B, D)))
-        fused = serve_fused(pred, Xb)
-        assert fused.shape == (R, B)
+        means, vars_ = serve_fused(pred, Xb)
+        assert means.shape == (R, B) and vars_.shape == (R, B)
         for i in range(R):
-            mean_i, _ = pred(Xb[i])
-            np.testing.assert_allclose(np.asarray(fused[i]),
-                                       np.asarray(mean_i), rtol=1e-6)
+            mean_i, var_i = pred(Xb[i])
+            np.testing.assert_array_equal(np.asarray(means[i]),
+                                          np.asarray(mean_i))
+            np.testing.assert_array_equal(np.asarray(vars_[i]),
+                                          np.asarray(var_i))
         assert throughput_fused(pred, Xb[0], n_batches=3, iters=2) > 0
+
+    def test_fused_scan_classifier_probabilities(self):
+        """serve_fused on an SGPClassifier runs the probit Φ epilogue
+        inside the scanned program: rows EXACTLY equal
+        predictor.probabilities(X_batches[i])."""
+        from gaussianprocessnode_tpu.serve import serve_fused
+
+        rng = np.random.default_rng(7)
+        M, D, B, R = 10, 2, 13, 3
+        Xu = jnp.asarray(rng.standard_normal((M, D)))
+        theta = invsoftplus(jnp.ones(D + 1))
+        mu = jnp.asarray(rng.standard_normal(M))
+        prec = jnp.eye(M) * 2.0
+        qw = GammaShapeRate(jnp.asarray(3.0), jnp.asarray(2.0))
+        clf = SGPClassifier.from_natural(
+            KER, theta, Xu, MvGaussianNat(prec @ mu, prec), qw)
+        Xb = jnp.asarray(rng.standard_normal((R, B, D)))
+        probs = serve_fused(clf, Xb)
+        assert probs.shape == (R, B)
+        assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
+        for i in range(R):
+            # the Φ epilogue fuses differently inside the scan body than in
+            # the standalone program (measured: 8e-16 max abs on CPU) — the
+            # means upstream ARE bit-exact (regressor test above), so the
+            # tolerance here is the one-ulp fusion budget, not model error
+            np.testing.assert_allclose(
+                np.asarray(probs[i]), np.asarray(clf.probabilities(Xb[i])),
+                rtol=1e-12, atol=5e-15)
 
     @pytest.mark.skipif(not os.path.isdir(SAVE), reason="no reference")
     def test_kin40k_golden_through_serving_handle(self):
