@@ -56,7 +56,18 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
     (warm-started VMP E-step + L-BFGS on the θ-differentiable FE, SURVEY
     §7.1 optimizer row). ``grad=False`` (``--nm``): the reference's
     derivative-free schedule — scipy NelderMead over cold 6-sweep FE
-    evaluations (GPLVM.ipynb cells 16-17)."""
+    evaluations (GPLVM.ipynb cells 16-17).
+
+    No ``--f32`` mode here, by MEASUREMENT (round 5): the whitened prior
+    makes this family f64-bound — B = Kuu + w·ΣΨ2 has κ ≈ 2e8 even at the
+    dtype-scaled jitter, so f32 Ψ-statistics noise (≈1e-3 abs at B's
+    ~6.5e3 scale) swamps the small-eigenvalue subspace the Laplace
+    in-message needs: latent 1-NN accuracy degrades 0.875 → 0.67-0.77 and
+    the FE loses meaning regardless of where precision is pinned
+    (naturals-in-f64 and full-f64 Laplace variants were built and
+    measured; they ship because they harden the f64 device path, but they
+    cannot rescue f32 statistics). The pendulum's --f32 mode
+    (experiments/pendulum.py) is where the recipe applies."""
     Y_np, labels = oil_flow()
     Y = jnp.asarray(Y_np)
     mean_X = pca_2d(Y_np)
@@ -94,8 +105,9 @@ def run(nm_iters: int = 25, n_iters: int = 6, grad: bool = True,
             Din, Mi = Xm.shape[1], Xu.shape[0]
             like_state = GPLVMState(
                 Xm, jnp.zeros((N, Din, Din), Y.dtype),
-                jnp.zeros(Mi * D, Y.dtype),
-                jnp.zeros((Mi * D, Mi * D), Y.dtype),
+                # q(v) naturals are ALWAYS f64 (infer/gplvm.gplvm_init_state)
+                jnp.zeros(Mi * D, jnp.float64),
+                jnp.zeros((Mi * D, Mi * D), jnp.float64),
             )
             ck = load_pytree(checkpoint_path, {
                 "theta": theta0, "state": like_state,

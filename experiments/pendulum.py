@@ -75,6 +75,7 @@ import optax
 from gaussianprocessnode_tpu.dists import MvGaussianNat
 from gaussianprocessnode_tpu.infer.chain_smoother import (
     GPSSMState,
+    _qv_stats,
     gpssm_vmp,
     one_step_ahead,
 )
@@ -92,23 +93,33 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         fresh_estep: bool = False, use_lbfgs: bool = True,
         adamax_lr: float = 0.01, adamax_decay: float = 0.2,
         verbose: bool = True, sp_devices: int = 0,
-        chunk: int | None = None, checkpoint_path: str | None = None):
+        chunk: int | None = None, checkpoint_path: str | None = None,
+        f32: bool = False):
+    """``f32=True``: the f32-first device mode — every model input is cast
+    to float32 so the whole alternation (cubature Ψ-statistics, moment
+    matching, node energies, θ-gradients) runs native-f32 on the MXU
+    instead of software-emulated f64 (the measured bound on this workload's
+    device throughput, DEVIATIONS #28), while the chain smoother internally
+    pins its condition-critical q(v) factorizations and FE logdets to f64
+    (infer/chain_smoother._qv_stats). CPU-f64 equivalence is tested in
+    tests/test_e2e.py::TestF32FirstMode."""
     x_state, y_obs, Q, P, dt = pendulum()
     n_train = 300
-    y_train = jnp.asarray(y_obs[:n_train])
-    y_test = jnp.asarray(y_obs[n_train:])
+    mdt = jnp.float32 if f32 else jnp.float64
+    y_train = jnp.asarray(y_obs[:n_train], mdt)
+    y_test = jnp.asarray(y_obs[n_train:], mdt)
     x_true_train = x_state[:n_train]
     x_true_test = x_state[n_train:]
 
-    Xu = jnp.asarray(pendulum_inducing())  # (48, 2)
+    Xu = jnp.asarray(pendulum_inducing(), mdt)  # (48, 2)
     M, D = Xu.shape[0], 2
     kernel = Kernel("se", transform="softplus")
-    theta0 = invsoftplus(jnp.asarray([1.0, 1.0, 1.0]))
+    theta0 = invsoftplus(jnp.asarray([1.0, 1.0, 1.0], mdt))
 
-    prior_v = MvGaussianNat(jnp.zeros(M * D), jnp.eye(M * D) / 50.0)
-    prior_x0_mean = jnp.asarray([1.6, 0.0])
-    prior_x0_cov = 0.1 * jnp.eye(2)
-    P_j = jnp.asarray(P)
+    prior_v = MvGaussianNat(jnp.zeros(M * D, mdt), jnp.eye(M * D, dtype=mdt) / 50.0)
+    prior_x0_mean = jnp.asarray([1.6, 0.0], mdt)
+    prior_x0_cov = 0.1 * jnp.eye(2, dtype=mdt)
+    P_j = jnp.asarray(P, mdt)
     sr = SphericalRadial()
 
     # AdaMax M-step (use_lbfgs=False only — the default L-BFGS path carries
@@ -129,7 +140,7 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
     def vmp(theta, init_state=None, compute_fe=True):
         return gpssm_vmp(
             kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
-            prior_v, 100.0, jnp.eye(2), n_iters=n_iters, compute_fe=compute_fe,
+            prior_v, 100.0, jnp.eye(2, dtype=mdt), n_iters=n_iters, compute_fe=compute_fe,
             init_state=init_state,
         )
 
@@ -147,10 +158,10 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         # infer restarts from gp_initialization (cell 16); the warm-started
         # default converges the E-step further per epoch
         state, fe = vmp(theta, init_state=None if fresh_estep else vmp_state)
-        # extract stats for the objective (reference cell 16)
-        L = chol_lower(sym(state.prec_v))
-        cov_v = sym(chol_solve(L, jnp.eye(M * D)))
-        mu_v = chol_solve(L, state.xi_v)
+        # extract stats for the objective (reference cell 16) — through the
+        # chain smoother's f64-internal q(v) solve, so the --f32 mode keeps
+        # this one condition-critical factorization at full precision
+        mu_v, cov_v = _qv_stats(state.xi_v, state.prec_v)
         Rv = cov_v + jnp.outer(mu_v, mu_v)
         W_bar = state.W_df * cholinv(sym(state.W_rate))
         sumRv_W = sum_blocks_weighted(Rv, W_bar, D, M)
@@ -269,7 +280,7 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         t_sm = time.time()
         state, fe = gpssm_vmp_sp(
             kernel, theta, Xu, shard_chain_data(mesh, y_train), P_j,
-            prior_x0_mean, prior_x0_cov, prior_v, 100.0, jnp.eye(2),
+            prior_x0_mean, prior_x0_cov, prior_v, 100.0, jnp.eye(2, dtype=mdt),
             mesh=mesh, n_iters=150,
         )
         block_via_host(fe)
@@ -283,7 +294,7 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         t_sm = time.time()
         state, fe = gpssm_vmp_pit(
             kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
-            prior_v, 100.0, jnp.eye(2), n_pit=4, n_polish=30,
+            prior_v, 100.0, jnp.eye(2, dtype=mdt), n_pit=4, n_polish=30,
         )
         block_via_host(fe)
         smooth_s = time.time() - t_sm
@@ -305,7 +316,7 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
         t_sm = time.time()
         state, fe = gpssm_vmp(
             kernel, theta, Xu, y_train, P_j, prior_x0_mean, prior_x0_cov,
-            prior_v, 100.0, jnp.eye(2), n_iters=150,
+            prior_v, 100.0, jnp.eye(2, dtype=mdt), n_iters=150,
         )
         block_via_host(fe)
         smooth_s = time.time() - t_sm
@@ -346,9 +357,13 @@ def run(epochs: int = 150, n_iters: int = 25, adamax_steps: int = 100,
                 [x[0] + x[1] * dt, x[1] - 9.81 * jnp.sin(x[0]) * dt])
 
         # 150 Jacobi sweeps ≈ the converged fixed point of the reference's 30
-        # sequential sweeps (Jacobi propagates along the chain more slowly)
+        # sequential sweeps (Jacobi propagates along the chain more slowly).
+        # The baseline always runs f64: it is a host-side evaluation metric,
+        # not part of the timed --f32 device workload
+        f64 = jnp.float64
         ut_state = ut_smoother_vmp(
-            transition, y_train, P_j, prior_x0_mean, prior_x0_cov, 100.0,
+            transition, y_train.astype(f64), P_j.astype(f64),
+            prior_x0_mean.astype(f64), prior_x0_cov.astype(f64), 100.0,
             jnp.eye(2), n_iters=150,
         )
     ut1 = float(smse(x_true_train[:, 0], np.asarray(ut_state.x_means[1:, 0])))
@@ -381,6 +396,8 @@ if __name__ == "__main__":
             kw["checkpoint_path"] = a.split("=", 1)[1]
         elif a.startswith("--chunk="):
             kw["chunk"] = int(a.split("=", 1)[1])
+        elif a == "--f32":
+            kw["f32"] = True
     if "--faithful" in sys.argv:
         # The reference's exact M-step schedule (Pendulum_Wishart_2d.ipynb
         # cells 16-17): Flux AdaMax default lr 0.002, constant, 100 steps per

@@ -171,19 +171,36 @@ def bench_one(T: int, *, n_pit: int = 6, n_polish: int = 30,
     return row
 
 
+def child_one(T: int, row_out: str):
+    """Run ONE T and write its row — the per-T subprocess body."""
+    row = bench_one(T)
+    row["backend"] = jax.default_backend()
+    with open(row_out, "w") as f:
+        json.dump(row, f)
+
+
 def main():
+    """Parent: one subprocess per T (the tpu_record isolation pattern —
+    a dead TPU worker takes its process's backend with it, so an in-process
+    loop loses every later T; the r5 first attempt lost T=8192/32768 to one
+    tunnel-compile failure at T=8192). Crashed Ts get an error row with rc
+    and stderr tail; completed rows merge per (backend, T)."""
+    import subprocess
+
     Ts = [2048, 8192]
     out_path = OUT_DEFAULT
+    attempts = 2
     for a in sys.argv[1:]:
         if a.startswith("--T="):
             Ts = [int(t) for t in a.split("=", 1)[1].split(",")]
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
-    backend = jax.default_backend()
+        elif a.startswith("--attempts="):
+            attempts = int(a.split("=", 1)[1])
+    on_tpu = "--tpu" in sys.argv
+    backend = "tpu" if on_tpu else "cpu"
     artifact = {
         "workload": "pit_gpssm_long_chain",
-        "backend": backend,
-        "device": str(jax.devices()[0]),
         "theta_softplus": [0.66, 2.27, 4.85],
         "M": 48,
         "fe_tol_nats": 1.0,
@@ -197,8 +214,41 @@ def main():
                             if r.get("backend") != backend
                             or r["T"] not in Ts]
     for T in Ts:
-        row = bench_one(T)
-        row["backend"] = backend
+        row_out = f"/tmp/pit_row_{backend}_{T}.json"
+        if _os.path.exists(row_out):
+            _os.remove(row_out)
+        cmd = [sys.executable, _os.path.abspath(__file__), f"--one-T={T}",
+               f"--row-out={row_out}"]
+        if on_tpu:
+            cmd.append("--tpu")
+        # budget: compile + PIT + the Jacobi race (the race dominates; it is
+        # capped by sweep_cap chunks whose per-sweep cost grows with T)
+        budget = 1200 + T // 4
+        row = None
+        for attempt in range(1, attempts + 1):
+            t0 = time.time()
+            err = {"T": T, "backend": backend, "attempt": attempt}
+            try:
+                p = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=budget)
+                sys.stdout.write(p.stdout)
+                sys.stdout.flush()
+                err["returncode"] = p.returncode
+                if p.returncode != 0:
+                    lines = p.stderr.strip().splitlines() or ["?"]
+                    err["stderr_tail"] = "\n".join(lines[-8:])[-900:]
+            except subprocess.TimeoutExpired:
+                err["returncode"] = None
+                err["stderr_tail"] = f"parent timeout {budget}s"
+            err["wall_seconds"] = round(time.time() - t0, 1)
+            if _os.path.exists(row_out):
+                with open(row_out) as f:
+                    row = json.load(f)
+                break
+            print(f"[pit_bench] T={T} attempt {attempt} FAILED "
+                  f"rc={err.get('returncode')} ({err['wall_seconds']}s)",
+                  flush=True)
+            row = {"error": "crashed", **err}
         artifact["rows"].append(row)
         artifact["rows"].sort(key=lambda r: (r.get("backend", ""), r["T"]))
         with open(out_path, "w") as f:  # crash-safe: persist after every T
@@ -208,4 +258,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _one = next((a for a in sys.argv[1:] if a.startswith("--one-T=")), None)
+    if _one is not None:
+        child_one(int(_one.split("=", 1)[1]),
+                  next(a.split("=", 1)[1] for a in sys.argv
+                       if a.startswith("--row-out=")))
+    else:
+        main()

@@ -67,14 +67,41 @@ class GPSSMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    """(ξ, Λ) → (μ, Σ): thin adapter over dists.mv_nat_to_meancov (the one
-    natural-to-moments conversion in the package)."""
-    q = mv_nat_to_meancov(MvGaussianNat(xi, prec))
-    return q.mean, q.cov
+    """(ξ, Λ) → (μ, Σ) via dists.mv_nat_to_meancov — factored in f64
+    REGARDLESS of the state dtype, moments cast back to it.
+
+    This is the chain's one condition-critical op (κ(Λ_v) grows to ~1e6+ as
+    ΣΨ2 accumulates over the chain): under the f32-first device mode
+    (everything else — cubature, Ψ-statistics, moment matching, θ-grads —
+    runs native-f32 on the MXU instead of emulated f64) this (M·D)² solve
+    is pinned to f64, the kin40k fast trainer's proven recipe
+    (infer/minibatch.py). A no-op for f64 states."""
+    dt = xi.dtype
+    q = mv_nat_to_meancov(MvGaussianNat(
+        xi.astype(jnp.float64), prec.astype(jnp.float64)))
+    return q.mean.astype(dt), q.cov.astype(dt)
 
 
 def _identity(x):
     return x
+
+
+def _kuu_inv_f64(kernel, theta, Xu, dt):
+    """Kuu⁻¹ at the SSM jitter, factored in f64 regardless of the model
+    dtype and cast back. κ(Kuu) at the pendulum's structured inducing grid
+    is ≫ 1/ε_f32, so an f32 Cholesky at jitter 1e-12 NaNs outright
+    (measured: the first f32 sweep's W_rate diagonal). An f32-COMPUTED Gram
+    also carries ~ε_f32 entrywise noise that leaves the matrix indefinite
+    beyond what 1e-12 regularizes even in f64, so the jitter scales with
+    the Gram's dtype (effective_jitter: 300·ε ≈ 3.6e-5 for f32 — the same
+    rule the f32 kin40k fast path uses). One M×M f64 factorization per
+    program — the f32-first mode's bulk work stays f32."""
+    from ..ops.linalg import effective_jitter
+
+    K = kernel.kuu(theta, Xu)
+    jit = (JITTER_KUU_SSM if K.dtype == jnp.float64
+           else effective_jitter(K.dtype, JITTER_KUU_SSM))
+    return cholinv(K.astype(jnp.float64), jitter=jit).astype(dt)
 
 
 def chain_qv_qw_updates(kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv,
@@ -116,7 +143,7 @@ def chain_qv_qw_updates(kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv,
     Rv4 = Rv.reshape(D, M, D, M)
     psi4_sum = reduce(jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq))
     I2_sum = Ry_sum - cross - cross.T + psi4_sum
-    W_df = prior_W_df + T_global
+    W_df = jnp.asarray(prior_W_df + T_global, dt)
     W_rate = sym(S0_inv + I1_sum + I2_sum)
     return xi_v, prec_v, W_df, W_rate
 
@@ -175,8 +202,11 @@ def chain_fe_terms(kernel, theta, Xu, Kuu_inv, ys_loc, Pobs, prior_x0_mean,
     )
     # q(v) entropy from the held natural precision — Cholesky of the
     # exactly-SPD Λ_v, not of its approximate inverse (the cov-route NaN'd
-    # at κ ~ 1e10 under the TPU backend's emulated f64; DEVIATIONS #30)
-    H_v = mv_gaussian_entropy_from_prec(sym(prec_v))
+    # at κ ~ 1e10 under the TPU backend's emulated f64; DEVIATIONS #30).
+    # Factored in f64 like _qv_stats: the logdet is the FE term most
+    # sensitive to the f32-first mode's reduced precision.
+    H_v = mv_gaussian_entropy_from_prec(
+        sym(prec_v).astype(jnp.float64)).astype(dt)
     H_W = wishart_entropy(qW)
     return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
 
@@ -209,7 +239,7 @@ def gpssm_vmp(
     dt = ys.dtype
     sr = quad.SphericalRadial()
 
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    Kuu_inv = _kuu_inv_f64(kernel, theta, Xu, ys.dtype)
 
     P_inv = cholinv(sym(P))
     obs_xi = ys @ P_inv.T  # (T, D)
@@ -308,7 +338,7 @@ def gpssm_free_energy(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
     """Bethe free energy of the chain under the mean-field q — the dense
     (full-array, identity-reduce) view of :func:`chain_fe_terms`."""
     sr = quad.SphericalRadial()
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    Kuu_inv = _kuu_inv_f64(kernel, theta, Xu, ys.dtype)
     return chain_fe_terms(
         kernel, theta, Xu, Kuu_inv, ys, P, prior_x0_mean, prior_x0_cov,
         prior_v, prior_W_df, prior_W_scale,
@@ -439,7 +469,7 @@ def gpssm_vmp_sequential(
     dt = ys.dtype
     sr = quad.SphericalRadial()
 
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    Kuu_inv = _kuu_inv_f64(kernel, theta, Xu, ys.dtype)
     P_inv = cholinv(sym(P))
     S0_inv = cholinv(sym(prior_W_scale))
     prior_x0_prec = cholinv(sym(prior_x0_cov))

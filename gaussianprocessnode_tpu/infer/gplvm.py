@@ -46,10 +46,13 @@ class GPLVMState(NamedTuple):
 
 
 def _qv_stats(xi, prec):
-    """(ξ, Λ) → (μ, Σ): thin adapter over dists.mv_nat_to_meancov (the one
-    natural-to-moments conversion in the package)."""
-    q = mv_nat_to_meancov(MvGaussianNat(xi, prec))
-    return q.mean, q.cov
+    """(ξ, Λ) → (μ, Σ) via dists.mv_nat_to_meancov — factored in f64
+    regardless of the state dtype (κ(Λ_v) ≈ 1e10 for the converged GPLVM
+    q(v), DEVIATIONS #30), moments cast back. No-op for f64 states."""
+    dt = xi.dtype
+    q = mv_nat_to_meancov(MvGaussianNat(
+        xi.astype(jnp.float64), prec.astype(jnp.float64)))
+    return q.mean.astype(dt), q.cov.astype(dt)
 
 
 def _qv_stats_kron(xi, prec, M, D):
@@ -64,13 +67,36 @@ def _qv_stats_kron(xi, prec, M, D):
     Choleskys dominated the on-device M-step, DEVIATIONS #30), the small
     factorization is the numerically stronger route under the TPU
     backend's emulated f64. Returns ``(mu_v, Binv, Lb)`` with ``Lb`` the
-    Cholesky factor of B. Requires a kron-structured precision — states
-    hand-built with a non-spherical W are outside this model family."""
-    B = sym(prec[:M, :M])
+    f64 Cholesky factor of B (consumers take logdets from it — the FE term
+    most precision-sensitive, so it stays f64; μ/B⁻¹ are cast back to the
+    state dtype). The factorization always runs in f64: κ(B) ≈ 1e10 at
+    convergence, far beyond f32, and at M×M it costs nothing — the
+    f32-first device mode keeps every BULK op (Ψ-statistics, Laplace
+    updates, node energies) in native f32. Requires a kron-structured
+    precision — states hand-built with a non-spherical W are outside this
+    model family (tests/test_e2e.py pins the structure)."""
+    dt = xi.dtype
+    B = sym(prec[:M, :M]).astype(jnp.float64)
     Lb = chol_lower(B)
-    Binv = sym(chol_solve(Lb, jnp.eye(M, dtype=xi.dtype)))
-    mu = chol_solve(Lb, xi.reshape(D, M).T).T.reshape(-1)
-    return mu, Binv, Lb
+    Binv = sym(chol_solve(Lb, jnp.eye(M, dtype=jnp.float64)))
+    mu = chol_solve(Lb, xi.astype(jnp.float64).reshape(D, M).T).T.reshape(-1)
+    return mu.astype(dt), Binv.astype(dt), Lb
+
+
+
+def _kuu_ssm(kernel, theta, Xu):
+    """Kuu at the SSM jitter, dtype-aware: the reference's 1e-12 is
+    invisible at f32 resolution, so the f32-first mode jitters at
+    300·ε_f32 ≈ 3.6e-5 (ops/linalg.effective_jitter) — without it the f32
+    Gram's entrywise noise leaves Kuu numerically indefinite, Kuu⁻¹ turns
+    to garbage, every Laplace Hessian fails the PSD guard, and the latents
+    freeze at their priors (measured). The f64 path is unchanged."""
+    from ..ops.linalg import effective_jitter
+
+    dt = jnp.result_type(theta, Xu)
+    jit = (JITTER_KUU_SSM if dt == jnp.float64
+           else effective_jitter(dt, JITTER_KUU_SSM))
+    return kernel.kuu(theta, Xu, jitter=jit)
 
 
 def make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v, W, x_prior_prec,
@@ -84,35 +110,54 @@ def make_x_update(kernel, theta, Xu, Kuu_inv, xi_v, prec_v, W, x_prior_prec,
     Returns ``update_x(y_i, m_init, xi_p) -> (mean, cov)`` (vmappable);
     ``m_init`` seeds the L-BFGS (the objective is multimodal — GPLVM latent
     symmetries — so the start selects the mode), ``xi_p`` is the prior's
-    natural mean."""
+    natural mean.
+
+    The WHOLE Laplace path runs in f64 regardless of the model dtype (a
+    no-op for f64 states): the in-message curvature A_in is a large-scale
+    cancellation of tr(W)·Kuu⁻¹ against ΣRv·W in which Kuu⁻¹ at the
+    reference's 1e-12 jitter is itself beyond f32 (measured: under f32 the
+    modes flip point-by-point and the latent embedding degrades from 0.875
+    to 0.67 1-NN accuracy). Every op here is M×Din-tiny, so pinning it to
+    f64 costs the f32-first device mode almost nothing — the bulk work
+    (batched Ψ-statistics, node energies) stays f32."""
+    f64 = jnp.float64
+    dt = x_prior_prec.dtype  # model dtype (xi_v/prec_v are always f64)
     M = Xu.shape[0]
     D = W.shape[0]
-    tr_W = jnp.trace(W)
+    theta64, Xu64 = theta.astype(f64), Xu.astype(f64)
+    W64 = W.astype(f64)
+    tr_W = jnp.trace(W64)
+    # Kuu⁻¹ from the f64-evaluated Gram at the reference jitter — the f32
+    # Gram + dtype-scaled jitter (_kuu_ssm) is fine for the Ψ-statistics
+    # trace terms but NOT for this cancellation; cheap at M×M
+    Kuu_inv64 = cholinv(_kuu_ssm(kernel, theta, Xu).astype(f64))
     # kron-structured q(v) (Λ_v = I_D ⊗ B, _qv_stats_kron): the Σ_v part of
     # Σᵢⱼ Wᵢⱼ·Rv[i,j] is block-diagonal, so sumRv_W = tr(W)·B⁻¹ + Σᵢⱼ Wᵢⱼ μᵢμⱼᵀ
-    mu_v, Binv, _ = _qv_stats_kron(xi_v, prec_v, M, D)
+    mu_v, Binv, _ = _qv_stats_kron(xi_v.astype(f64), prec_v.astype(f64), M, D)
     mu_blocks = _split_blocks(mu_v, M, D)
     sumRv_W = tr_W * Binv + jnp.einsum(
-        "ij,im,jn->mn", W, mu_blocks, mu_blocks)
-    A_in = 0.5 * tr_W * Kuu_inv - 0.5 * sumRv_W
+        "ij,im,jn->mn", W64, mu_blocks, mu_blocks)
+    A_in = 0.5 * tr_W * Kuu_inv64 - 0.5 * sumRv_W
+    x_prior_prec64 = x_prior_prec.astype(f64)
 
     def update_x(y_i, m_init, xi_p):
-        sumdiagV = (W @ y_i) @ mu_blocks  # (M,)
+        sumdiagV = (W64 @ y_i.astype(f64)) @ mu_blocks  # (M,)
 
         def neg_log(x):
-            k = psiops.psi1_exact(kernel, theta, Xu, x)
-            psi0 = kernel.kxx(theta, x)
+            k = psiops.psi1_exact(kernel, theta64, Xu64, x)
+            psi0 = kernel.kxx(theta64, x)
             return -(-0.5 * tr_W * psi0 + k @ A_in @ k + sumdiagV @ k)
 
         from .training import lbfgs_solve
 
-        m_z, _ = lbfgs_solve(neg_log, m_init, max_steps=laplace_steps)
+        m_z, _ = lbfgs_solve(neg_log, m_init.astype(f64),
+                             max_steps=laplace_steps)
         W_z = laplace_precision_guard(jax.hessian(neg_log)(m_z))
         # product with the prior (natural params)
-        prec = x_prior_prec + W_z
+        prec = x_prior_prec64 + W_z
         cov = cholinv(sym(prec))
-        mean = cov @ (xi_p + W_z @ m_z)
-        return mean, sym(cov)
+        mean = cov @ (xi_p.astype(f64) + W_z @ m_z)
+        return mean.astype(dt), sym(cov).astype(dt)
 
     return update_x
 
@@ -159,6 +204,9 @@ def gplvm_free_energy(
     M = Xu.shape[0]
     D = Y.shape[1]
     mu_v, Binv, Lb = _qv_stats_kron(state.xi_v, state.prec_v, M, D)
+    # the f64-held naturals collapse to moments ONCE; the bulk θ-terms
+    # (node energies over N) run in the model dtype
+    mu_v, Binv = mu_v.astype(Y.dtype), Binv.astype(Y.dtype)
     cov_v = jnp.kron(jnp.eye(D, dtype=Y.dtype), Binv)
     mub = _split_blocks(mu_v, M, D)
     R_diag_sum = D * Binv + jnp.einsum("dm,dn->mn", mub, mub)
@@ -183,8 +231,11 @@ def gplvm_fe_theta_terms(kernel, theta, Xu, Y, x_means, x_covs, mu_v, cov_v,
     M = Xu.shape[0]
     dt = Y.dtype
     sr = quad.SphericalRadial()
-    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
-    Kuu_inv = cholinv(Kuu)
+    Kuu = _kuu_ssm(kernel, theta, Xu)
+    # factored in f64 regardless of the model dtype (f32-first mode): the
+    # inverse of the ill-conditioned Kuu is condition-critical, the Gram is
+    # not (see chain_smoother._kuu_inv_f64)
+    Kuu_inv = cholinv(Kuu.astype(jnp.float64)).astype(Kuu.dtype)
     args = MultiSGPArgs(theta, Xu, Kuu_inv)
     W = W_val * jnp.eye(D, dtype=dt)
     logdetW = D * jnp.log(jnp.asarray(W_val, dt))
@@ -196,7 +247,7 @@ def gplvm_fe_theta_terms(kernel, theta, Xu, Y, x_means, x_covs, mu_v, cov_v,
         )
 
     U_nodes = jnp.sum(jax.vmap(node_e)(Y, x_means, x_covs))
-    Lk = chol_lower(sym(Kuu))
+    Lk = chol_lower(sym(Kuu).astype(jnp.float64))  # f64 logdet (FE term)
     tr_prior = jnp.einsum("mn,nm->", Kuu, R_diag_sum)
     U_v = 0.5 * (M * D * _LOG2PI - D * logdet_from_chol(Lk) + tr_prior)
     return U_nodes + U_v
@@ -243,12 +294,19 @@ def gplvm_init_state(kernel, theta, Xu, Y, x_prior_means) -> "GPLVMState":
     Din = x_prior_means.shape[1]
     M = Xu.shape[0]
     dt = Y.dtype
-    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
+    f64 = jnp.float64
+    # q(v)'s natural parameters ALWAYS live in f64 (a no-op for the f64
+    # path): the whitened prior makes κ(Λ_v) ≈ 1e10, so B's small
+    # eigenvalues sit below the f32 representation noise of its large
+    # entries — an f32-held precision is indefinite-by-rounding and every
+    # downstream factorization NaNs (measured; DEVIATIONS r5). The x
+    # marginals and all bulk Ψ work stay in the model dtype.
+    Kuu64 = _kuu_ssm(kernel, theta, Xu).astype(f64)
     return GPLVMState(
         x_prior_means,
         jnp.tile(jnp.eye(Din, dtype=dt), (N, 1, 1)),
-        jnp.zeros(M * D, dtype=dt),
-        jnp.kron(jnp.eye(D, dtype=dt), Kuu),
+        jnp.zeros(M * D, dtype=f64),
+        jnp.kron(jnp.eye(D, dtype=f64), Kuu64),
     )
 
 
@@ -272,15 +330,23 @@ def gplvm_vmp(
     dt = Y.dtype
     sr = quad.SphericalRadial()
 
-    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
-    Kuu_inv = cholinv(Kuu)
+    f64 = jnp.float64
+    Kuu = _kuu_ssm(kernel, theta, Xu)
+    # factored in f64 regardless of the model dtype (f32-first mode): the
+    # inverse of the ill-conditioned Kuu is condition-critical, the Gram is
+    # not (see chain_smoother._kuu_inv_f64)
+    Kuu_inv = cholinv(Kuu.astype(f64)).astype(Kuu.dtype)
     args = MultiSGPArgs(theta, Xu, Kuu_inv)
     W = W_val * jnp.eye(D, dtype=dt)
     tr_W = jnp.trace(W)
 
-    # θ-dependent whitened prior on v: precision = I_D ⊗ Kuu (GPLVM.ipynb cell 16)
-    prior_prec_v = jnp.kron(jnp.eye(D, dtype=dt), Kuu)
-    prior_xi_v = jnp.zeros(M * D, dtype=dt)
+    # θ-dependent whitened prior on v: precision = I_D ⊗ Kuu (GPLVM.ipynb
+    # cell 16). Natural params of q(v) are HELD IN F64 in every mode — see
+    # gplvm_init_state: κ(Λ_v) ≈ 1e10 puts B's small eigenvalues below the
+    # f32 noise floor of its large entries.
+    Kuu64 = _kuu_ssm(kernel, theta, Xu).astype(f64)
+    prior_prec_v = jnp.kron(jnp.eye(D, dtype=f64), Kuu64)
+    prior_xi_v = jnp.zeros(M * D, dtype=f64)
 
     x_prior_prec = jnp.eye(Din, dtype=dt) / x_prior_cov_scale
     x_prior_xi = x_prior_means / x_prior_cov_scale  # (N, Din)
@@ -298,8 +364,10 @@ def gplvm_vmp(
         )
         sum_psi2 = psiops.sum_weighted_psi2(Kp, wq, jnp.ones((N,), dt))
         yW = Y @ W.T  # (N, D)
-        xi_v = prior_xi_v + jnp.einsum("nd,mn->dm", yW, psi1_b).reshape(-1)
-        prec_v = prior_prec_v + jnp.kron(W, sum_psi2)
+        # the data sums are f32 MXU work; the ACCUMULATED naturals are f64
+        xi_v = prior_xi_v + jnp.einsum(
+            "nd,mn->dm", yW, psi1_b).reshape(-1).astype(f64)
+        prec_v = prior_prec_v + jnp.kron(W, sum_psi2).astype(f64)
 
         # ---- 2. q(x_i): the shared Laplace-×-prior update, vmapped ---------
         # (L-BFGS starts at the current marginal mean — the reference's
@@ -385,6 +453,8 @@ def fit_gplvm_grad(
         # the reported FE. Same minimizer (a constant shift), and it
         # removes every q(v) factorization from inside the AD loop.
         mu_v, Binv, Lb = _qv_stats_kron(state.xi_v, state.prec_v, M, D)
+        mu_v, Binv = mu_v.astype(dt), Binv.astype(dt)  # f64 naturals →
+        #             model-dtype moments for the bulk θ-terms
         cov_v = jnp.kron(jnp.eye(D, dtype=dt), Binv)
         mub = _split_blocks(mu_v, M, D)
         R_diag_sum = D * Binv + jnp.einsum("dm,dn->mn", mub, mub)
@@ -451,8 +521,11 @@ def gplvm_embed(
     D = Y_new.shape[1]
     dt = Y_new.dtype
 
-    Kuu = kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM)
-    Kuu_inv = cholinv(Kuu)
+    Kuu = _kuu_ssm(kernel, theta, Xu)
+    # factored in f64 regardless of the model dtype (f32-first mode): the
+    # inverse of the ill-conditioned Kuu is condition-critical, the Gram is
+    # not (see chain_smoother._kuu_inv_f64)
+    Kuu_inv = cholinv(Kuu.astype(jnp.float64)).astype(Kuu.dtype)
     W = W_val * jnp.eye(D, dtype=dt)
     x_prior_prec = jnp.eye(Din, dtype=dt) / x_prior_cov_scale
     x_prior_xi = x_prior_means / x_prior_cov_scale  # (N*, Din)

@@ -41,7 +41,7 @@ from ..config import JITTER_KUU_SSM
 from ..dists import MvGaussianNat
 from ..nodes.multisgp import _split_blocks
 from ..ops import quadrature as quad
-from ..ops.linalg import cholinv, sym
+from ..ops.linalg import cholinv, spd_clamp, sym
 from .chain_smoother import (
     GPSSMState,
     _qv_stats,
@@ -200,7 +200,9 @@ def _pit_sweeps(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
     M = Xu.shape[0]
     dt = ys.dtype
     sr = quad.SphericalRadial()
-    kernel_kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    from .chain_smoother import _kuu_inv_f64
+
+    kernel_kuu_inv = _kuu_inv_f64(kernel, theta, Xu, dt)
     S0_inv = cholinv(sym(prior_W_scale))
 
     def sweep(state, _):
@@ -215,17 +217,20 @@ def _pit_sweeps(kernel, theta, Xu, ys, P, prior_x0_mean, prior_x0_cov,
         # transition noise = the VMP out-message's W̄⁻¹ plus the SLR residual
         sm, sP = parallel_lgssm_smooth(
             A, b, omega + W_inv, prior_x0_mean, prior_x0_cov, ys, P)
-        # SPD floor on the smoothed covariances (relative 1e-9 diagonal
-        # lift, the slr_transition jitter pattern): the smoother gain's
-        # fP − G·Pp·Gᵀ cancellation can leave tiny NEGATIVE eigenvalues at
+        # SPD GUARD on the smoothed covariances: the smoother gain's
+        # fP − G·Pp·Gᵀ cancellation can leave NEGATIVE eigenvalues at
         # reduced effective precision — on the TPU backend's emulated f64
         # these NaN the next consumer Cholesky (sigma points in the Ψ-stats
         # and the next sweep's SLR) while CPU f64 happens to stay positive;
-        # measured at T=2048 (benchmarks/pit_gpssm_r5.json r4 debug).
-        # 1e-9-relative is far inside the fixed point's tolerance and the
-        # polish sweeps (exact Jacobi) are unaffected.
+        # measured at T=2048 (benchmarks/pit_gpssm_r5.json r4 debug). The
+        # r4 1e-9-relative diagonal lift was NOT enough on the device (the
+        # r5 T=2048 TPU run still NaN'd — deficits beyond the lift, exactly
+        # advisor r4 #3's warning), so this is an eigenvalue CLAMP
+        # (ops/linalg.spd_clamp): repairs arbitrary indefiniteness, and at
+        # λ ≥ 1e-9·max(tr, 1e-6) it is far inside the fixed point's
+        # tolerance; the polish sweeps (exact Jacobi) are unaffected.
         trP = jnp.trace(sP, axis1=-2, axis2=-1)[..., None, None]
-        sP = sP + 1e-9 * jnp.maximum(trP, 1e-6) * jnp.eye(D, dtype=dt)
+        sP = spd_clamp(sP, 1e-9 * jnp.maximum(trP[..., 0, 0], 1e-6))
         xi_v, prec_v, W_df, W_rate = chain_qv_qw_updates(
             kernel, theta, Xu, sr, kernel_kuu_inv, prior_v, S0_inv,
             prior_W_df, T, sm[:-1], sP[:-1], sm[1:], sP[1:], W_mean, dt,

@@ -12,7 +12,8 @@ GEMMs/solves over the whole minibatch — the form XLA tiles onto the MXU.
 import jax
 import jax.numpy as jnp
 
-from .ops.linalg import chol_lower, spd_inverse, tri_solve_lower
+from .ops.linalg import (chol_lower, effective_jitter, spd_inverse,
+                         tri_solve_lower)
 from .ops.psi import psi_batch_expected_multi, psi_batch_expected_uni
 from .config import JITTER_KUU, JITTER_KUU_SSM
 
@@ -95,8 +96,17 @@ def neg_log_backwardmess_multi(
     M = Xu.shape[0]
     D = y_means.shape[1]
     tr_W = jnp.trace(W)
-    # solve form for the Kuu⁻¹ contraction — see neg_log_backwardmess_uncertain
-    Lu = chol_lower(kernel.kuu(theta, Xu, jitter=JITTER_KUU_SSM))
+    # solve form for the Kuu⁻¹ contraction — see neg_log_backwardmess_uncertain.
+    # Dtype-aware jitter: in the f32-first device mode the reference's 1e-12
+    # is invisible at f32 resolution and the Cholesky of the ill-conditioned
+    # Kuu NaNs outright; 300·ε_f32 ≈ 3.6e-5 keeps the objective (and its
+    # L-BFGS gradients) finite while staying f32-native — the M-step's hot
+    # loop is exactly this solve, so pinning it to f64 would forfeit the
+    # mode's point (see chain_smoother._kuu_inv_f64 for the E-step analogue).
+    dt_k = jnp.result_type(theta, Xu)
+    jit = (JITTER_KUU_SSM if dt_k == jnp.float64
+           else effective_jitter(dt_k, JITTER_KUU_SSM))
+    Lu = chol_lower(kernel.kuu(theta, Xu, jitter=jit))
     psi0, psi1, Kp, wq = psi_batch_expected_multi(kernel, theta, Xu, method, qx_means, qx_covs)
     # sumdiagV_i = Σ_d (μ_v yᵢᵀ W)[block d, d] = Σ_d μ_v^(d) (yᵢᵀW)_d : (N, M)
     mu_blocks = mu_v.reshape(D, M)

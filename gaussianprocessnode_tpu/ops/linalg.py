@@ -102,6 +102,43 @@ def solve_psd(A: jax.Array, B: jax.Array, jitter: float = 0.0) -> jax.Array:
     return chol_solve(L, B)
 
 
+def spd_clamp(S: jax.Array, floor) -> jax.Array:
+    """Eigenvalue-clamp a (batched) symmetric matrix to λ ≥ floor — a GUARD,
+    not a floor: unlike a diagonal lift (S + εI), this repairs an
+    arbitrarily indefinite S (advisor r4 #3 — the PIT smoother's
+    fP − G·Pp·Gᵀ cancellation left deficits beyond a 1e-9 lift on the TPU
+    backend's emulated f64). ``floor`` broadcasts over batch dims.
+
+    D = 2 uses the closed-form symmetric eigensystem (S = m·I + r·U with
+    U² = I): clamp the two eigenvalues, reconstruct — branchless, batched,
+    no eigh lowering on backends with high per-op dispatch cost (the same
+    motivation as quadrature._cholsqrt). Other D falls back to eigh."""
+    D = S.shape[-1]
+    floor = jnp.asarray(floor, S.dtype)
+    if D == 2:
+        a = S[..., 0, 0]
+        b = 0.5 * (S[..., 0, 1] + S[..., 1, 0])
+        c = S[..., 1, 1]
+        m = 0.5 * (a + c)
+        d = 0.5 * (a - c)
+        r = jnp.sqrt(d * d + b * b)
+        lo = jnp.maximum(m - r, floor)
+        hi = jnp.maximum(m + r, floor)
+        m_c, r_c = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        # U = [[d, b], [b, -d]]/r; at r → 0 the correction r_c·U → 0 too,
+        # so guard the division and let the isotropic part carry the clamp
+        safe_r = jnp.where(r > 0, r, 1.0)
+        scale = jnp.where(r > 0, r_c / safe_r, 0.0)
+        out = jnp.stack([
+            jnp.stack([m_c + scale * d, scale * b], -1),
+            jnp.stack([scale * b, m_c - scale * d], -1),
+        ], -2)
+        return out
+    w, V = jnp.linalg.eigh(sym(S))
+    w = jnp.maximum(w, floor[..., None] if jnp.ndim(floor) else floor)
+    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+
 def block_trace_products(Rv: jax.Array, S: jax.Array, D: int, M: int) -> jax.Array:
     """Ψ4[i,j] = <Rv_block[i,j], Sᵀ> for a (DM,DM) matrix viewed as D×D grid
     of M×M blocks (reference: create_blockmatrix + `sum(Rv_i .* Ψ2')`,

@@ -119,7 +119,9 @@ def gpssm_vmp_sp(
     ndev = mesh.shape[axis]
     sr = quad.SphericalRadial()
 
-    Kuu_inv = cholinv(kernel.kuu(theta, Xu), jitter=JITTER_KUU_SSM)
+    from ..infer.chain_smoother import _kuu_inv_f64
+
+    Kuu_inv = _kuu_inv_f64(kernel, theta, Xu, dt)
     P_inv = cholinv(sym(Pobs))
     S0_inv = cholinv(sym(prior_W_scale))
     prior_x0_prec = cholinv(sym(prior_x0_cov))
