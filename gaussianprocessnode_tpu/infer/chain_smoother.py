@@ -66,6 +66,34 @@ class GPSSMState(NamedTuple):
     W_rate: jax.Array  # (D, D) rate matrix (inverse scale)
 
 
+_TPU_F64_MM_RELERR = 1e-7  # safety ×4 over the MEASURED 2.7e-8 (see below)
+
+
+def _spd_guard_f64(prec):
+    """Symmetrize + (device only) lift Λ by the backend's matmul-error
+    bound before factorization.
+
+    The TPU backend's f64 matmul carries ~2.7e-8 RELATIVE error — measured
+    on-device with a 96×8192 A·Aᵀ against numpy, and INDEPENDENT of the
+    precision flag (r5 device debug), i.e. an emulation floor, not a
+    downcast to opt out of. The chain's accumulated Λ_v = Λ₀ + W̄⊗ΣΨ2 has
+    λmin pinned at the prior's 1/50 while λmax grows ∝ T·W̄, so beyond
+    T ≈ 1e3 the mathematically-PD matrix ARRIVES indefinite
+    (T=2048: λmin(device Λ_v) = −0.018) and every downstream Cholesky
+    NaNs — the root cause of the r4/r5 PIT and long-chain Jacobi device
+    NaNs. The lift is ε_mm·(Gershgorin row-sum bound on λmax): directions
+    with data precision ≫ the lift are untouched; the near-null directions
+    it regularizes are exactly the ones whose device values are 100%
+    matmul noise. CPU keeps the untouched factorization (the backend
+    branch resolves at trace time)."""
+    p64 = sym(prec.astype(jnp.float64))
+    if jax.default_backend() == "tpu":
+        lam_max_bound = jnp.max(jnp.sum(jnp.abs(p64), axis=-1))
+        p64 = p64 + (_TPU_F64_MM_RELERR * lam_max_bound) * jnp.eye(
+            p64.shape[-1], dtype=jnp.float64)
+    return p64
+
+
 def _qv_stats(xi, prec):
     """(ξ, Λ) → (μ, Σ) via dists.mv_nat_to_meancov — factored in f64
     REGARDLESS of the state dtype, moments cast back to it.
@@ -75,10 +103,11 @@ def _qv_stats(xi, prec):
     (everything else — cubature, Ψ-statistics, moment matching, θ-grads —
     runs native-f32 on the MXU instead of emulated f64) this (M·D)² solve
     is pinned to f64, the kin40k fast trainer's proven recipe
-    (infer/minibatch.py). A no-op for f64 states."""
+    (infer/minibatch.py). A no-op for f64 states. On the TPU backend the
+    precision additionally gets the :func:`_spd_guard_f64` lift."""
     dt = xi.dtype
     q = mv_nat_to_meancov(MvGaussianNat(
-        xi.astype(jnp.float64), prec.astype(jnp.float64)))
+        xi.astype(jnp.float64), _spd_guard_f64(prec)))
     return q.mean.astype(dt), q.cov.astype(dt)
 
 
@@ -121,27 +150,34 @@ def chain_qv_qw_updates(kernel, theta, Xu, sr, Kuu_inv, prior_v, S0_inv,
     M = Xu.shape[0]
     D = W_mean.shape[0]
     T_loc = in_means.shape[0]
+    # HIGHEST precision on every T-long contraction: the backend's default
+    # matmul precision runs f64 through f32 passes, whose error at T·P-long
+    # reductions left the device Λ_v indefinite (see sum_weighted_psi2)
+    hi = jax.lax.Precision.HIGHEST
     psi0_in, psi1_in, Kp_in, wq = psiops.psi_batch_expected_multi(
         kernel, theta, Xu, sr, in_means, in_covs
     )
     sum_psi2 = reduce(psiops.sum_weighted_psi2(Kp_in, wq, jnp.ones((T_loc,), dt)))
     yW = out_means @ W_mean.T  # (T_loc, D)
-    xi_v = prior_v.xi + reduce(jnp.einsum("td,mt->dm", yW, psi1_in).reshape(-1))
+    xi_v = prior_v.xi + reduce(jnp.einsum("td,mt->dm", yW, psi1_in,
+                                          precision=hi).reshape(-1))
     prec_v = prior_v.prec + jnp.kron(W_mean, sum_psi2)
     mu_v, cov_v = _qv_stats(xi_v, prec_v)
     Rv = cov_v + jnp.outer(mu_v, mu_v)
     mu_blocks = _split_blocks(mu_v, M, D)
 
-    KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in)
-    tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq)
+    KinvK = jnp.einsum("mq,qtp->mtp", Kuu_inv, Kp_in, precision=hi)
+    tr_t = jnp.einsum("mtp,mtp,p->t", Kp_in, KinvK, wq, precision=hi)
     I1_sum = reduce(jnp.sum(psi0_in - tr_t)) * jnp.eye(D, dtype=dt)
-    E_t = (mu_blocks @ psi1_in).T  # (T_loc, D)
+    E_t = jnp.matmul(mu_blocks, psi1_in, precision=hi).T  # (T_loc, D)
     Ry_sum = reduce(
-        jnp.einsum("td,te->de", out_means, out_means) + jnp.sum(out_covs, 0)
+        jnp.einsum("td,te->de", out_means, out_means, precision=hi)
+        + jnp.sum(out_covs, 0)
     )
-    cross = reduce(jnp.einsum("td,te->de", out_means, E_t))
+    cross = reduce(jnp.einsum("td,te->de", out_means, E_t, precision=hi))
     Rv4 = Rv.reshape(D, M, D, M)
-    psi4_sum = reduce(jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq))
+    psi4_sum = reduce(jnp.einsum("imjn,ntp,mtp,p->ij", Rv4, Kp_in, Kp_in, wq,
+                                 precision=hi))
     I2_sum = Ry_sum - cross - cross.T + psi4_sum
     W_df = jnp.asarray(prior_W_df + T_global, dt)
     W_rate = sym(S0_inv + I1_sum + I2_sum)
@@ -203,10 +239,8 @@ def chain_fe_terms(kernel, theta, Xu, Kuu_inv, ys_loc, Pobs, prior_x0_mean,
     # q(v) entropy from the held natural precision — Cholesky of the
     # exactly-SPD Λ_v, not of its approximate inverse (the cov-route NaN'd
     # at κ ~ 1e10 under the TPU backend's emulated f64; DEVIATIONS #30).
-    # Factored in f64 like _qv_stats: the logdet is the FE term most
-    # sensitive to the f32-first mode's reduced precision.
-    H_v = mv_gaussian_entropy_from_prec(
-        sym(prec_v).astype(jnp.float64)).astype(dt)
+    # Factored in f64 with the same device SPD guard as _qv_stats.
+    H_v = mv_gaussian_entropy_from_prec(_spd_guard_f64(prec_v)).astype(dt)
     H_W = wishart_entropy(qW)
     return U_nodes + U_obs + U_x0 + U_v + U_W - H_x - H_v - H_W
 

@@ -366,7 +366,8 @@ def gplvm_vmp(
         yW = Y @ W.T  # (N, D)
         # the data sums are f32 MXU work; the ACCUMULATED naturals are f64
         xi_v = prior_xi_v + jnp.einsum(
-            "nd,mn->dm", yW, psi1_b).reshape(-1).astype(f64)
+            "nd,mn->dm", yW, psi1_b,
+            precision=jax.lax.Precision.HIGHEST).reshape(-1).astype(f64)
         prec_v = prior_prec_v + jnp.kron(W, sum_psi2).astype(f64)
 
         # ---- 2. q(x_i): the shared Laplace-×-prior update, vmapped ---------

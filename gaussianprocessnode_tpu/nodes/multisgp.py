@@ -138,7 +138,8 @@ def v_message_batch(psi1, sum_psi2, sum_yW, W_mean) -> MvGaussianNat:
 
     ``psi1`` (M, N), ``sum_psi2`` (M,M) = Σ_t Ψ2_t, ``sum_yW`` (N, D) rows
     (W μ_y,t)ᵀ."""
-    xi = jnp.einsum("nd,mn->dm", sum_yW, psi1).reshape(-1)
+    xi = jnp.einsum("nd,mn->dm", sum_yW, psi1,
+                    precision=jax.lax.Precision.HIGHEST).reshape(-1)
     prec = jnp.kron(W_mean, sum_psi2)
     return MvGaussianNat(xi, prec)
 

@@ -108,11 +108,20 @@ def psi_batch_expected_multi(kernel, theta, Xu, method, means, covs):
 
 
 def sum_weighted_psi2(Kp, w, c):
-    """Σᵢ cᵢ Ψ2ᵢ from the point Gram Kp (M,N,P): one reshaped GEMM."""
+    """Σᵢ cᵢ Ψ2ᵢ from the point Gram Kp (M,N,P): one reshaped GEMM.
+
+    HIGHEST precision is load-bearing, not a nicety: the TPU backend's
+    default matmul precision runs f64 operands through f32 passes, and at
+    long reductions (N·P ≈ 8k for the T=2048 GPSSM chain) the ~4e-7
+    relative error (~2e-2 absolute at the chain's Λ_v scale) exceeds the
+    accumulated precision's true λ_min (the prior's 1/50) — the device
+    Λ_v came out INDEFINITE and every downstream Cholesky NaN'd while CPU
+    f64 was fine (round-5 device debug; the r4/r5 PIT NaNs' root cause)."""
     M, N, P = Kp.shape
     A = Kp.reshape(M, N * P)
     scale = (c[:, None] * w[None, :]).reshape(N * P)
-    return (A * scale[None, :]) @ A.T
+    return jnp.matmul(A * scale[None, :], A.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def per_datum_psi2(Kp, w):
