@@ -91,9 +91,18 @@ def kin40k_fast_flops_per_epoch(M=600, N=10_000, B=20, Din=8,
     return gram_grand + nat_update + refresh + B * (obj_fwd + obj_bwd)
 
 
-def main():
-    from experiments.kin40k import run
+CACHE_DIR = "/root/repo/.jax_cache"
 
+
+def _cache_entries():
+    return set(os.listdir(CACHE_DIR)) if os.path.isdir(CACHE_DIR) else set()
+
+
+def main():
+    from experiments.kin40k import run  # seeds .jax_cache from the shipped
+    #                                     AOT executables at import
+
+    cache_pre = _cache_entries()
     flops_epoch = kin40k_fast_flops_per_epoch()
     flops_total = flops_epoch * EPOCHS
     # physical lower bound on the device time: the f64 Newton–Schulz refresh
@@ -115,6 +124,13 @@ def main():
         return r
 
     result = timed_run()
+    # AOT-cache staleness self-report (VERDICT r4 item 3): the round-3
+    # "fresh-clone compile ~7 s" headline silently died when r4 code edits
+    # moved the program keys and every run re-paid 600-1300 s of compile.
+    # Any cache entry WRITTEN during the training run means the shipped
+    # executables missed — the JSON now says so instead of leaving it to
+    # be inferred from compile_seconds.
+    train_compiled = sorted(_cache_entries() - cache_pre)
     remeasures = 0
     while result["seconds"] < min_plausible_s and remeasures < 3:
         # timing anomaly (degraded tunnel satisfying blocks early): the warm
@@ -168,6 +184,13 @@ def main():
         # backend first-execution finalization (cache loads, program
         # transfer), not XLA compile time proper
         "compile_seconds_semantics": "first_run_minus_warm_run_overhead",
+        "aot_cache": {
+            # hit=False ⇒ the committed benchmarks/aot_cache set is stale
+            # for this code/backend: re-harvest per utils/aot_cache.py
+            "hit": len(train_compiled) == 0,
+            "training_path_entries_compiled": len(train_compiled),
+            "compiled_names": [n.split("-")[0] for n in train_compiled][:8],
+        },
     }
     out.update(_pallas_check())
     out.update(_ns_refresh_rate())
