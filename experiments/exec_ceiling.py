@@ -22,6 +22,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 OUT = os.path.join(REPO, "benchmarks", "exec_ceiling_r5.json")
@@ -131,8 +133,12 @@ def main():
         else:
             first_bad = t
             break
-    # --- bisect to ~10% resolution ---------------------------------------
-    while first_bad is not None and first_bad - last_good > 0.15 * first_bad:
+    # --- bisect to ~10% resolution (absolute floor 30 s + probe cap so a
+    # systematically-crashing child can never loop forever) ---------------
+    bisects = 0
+    while (first_bad is not None and bisects < 6
+           and first_bad - last_good > max(30.0, 0.15 * first_bad)):
+        bisects += 1
         mid = 0.5 * (last_good + first_bad)
         row = probe(mid, "f64", log)
         if row["ok"]:

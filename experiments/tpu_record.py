@@ -40,6 +40,16 @@ WORKLOADS = {
         "reference_seconds": 1615.25,
         "timeout": 3000,
     },
+    "pendulum_f32": {
+        # the f32-first device mode (VERDICT r4 item 6): everything but
+        # the condition-critical solves runs native-f32 on the MXU instead
+        # of emulated f64 — the measured bound on the r4 record's 1360 s
+        "script": os.path.join(HERE, "pendulum.py"),
+        "args": ["150", "--chunk=25", "--f32"],
+        "out": os.path.join(REPO, "benchmarks", "pendulum_f32_tpu_r5.json"),
+        "reference_seconds": 1615.25,
+        "timeout": 3000,
+    },
     "gplvm": {
         # chunk=1: one epoch per dispatch (~1.5 min device time). The
         # chunk=5 attempts put ~400+ s in a single execution and crashed
@@ -49,6 +59,16 @@ WORKLOADS = {
         "script": os.path.join(HERE, "gplvm.py"),
         "args": ["25", "--chunk=1"],
         "out": os.path.join(REPO, "benchmarks", "gplvm_tpu_r4.json"),
+        "reference_seconds": 900.0,
+        "timeout": 4500,
+    },
+    "gplvm_r5": {
+        # re-chunked to the largest dispatch the measured exec ceiling
+        # allows (benchmarks/exec_ceiling_r5.json; VERDICT r4 item 4) —
+        # claws back the 1-epoch-dispatch overhead of the r4 record
+        "script": os.path.join(HERE, "gplvm.py"),
+        "args": ["25", "--chunk=2"],
+        "out": os.path.join(REPO, "benchmarks", "gplvm_tpu_r5.json"),
         "reference_seconds": 900.0,
         "timeout": 4500,
     },
