@@ -29,6 +29,18 @@ _X64 = os.environ.get("GPNODE_X64", "1") not in ("0", "false", "False")
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Default matmul precision = HIGHEST, package-wide. On the TPU MXU the
+# default lowers f32 contractions to bfloat16 passes (~1e-3 relative),
+# which is invisible on CPU and catastrophic for the f32-first device
+# mode: the pendulum --f32 hyperopt ran 3.8x faster than f64 on the chip
+# and DIVERGED (θ softplus values ~20-50, NaN smoothing) because the
+# M-step objective's M-length contractions carried bf16 error, while the
+# same program converged in true-f32 on the host. The hot kin40k paths
+# already pin precision per-op; this covers every other contraction.
+# HIGHEST f32 = 3-pass bf16 (f32-accurate) — still far from emulated-f64
+# cost, so the f32-first mode keeps its speedup.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 JITTER_KUU = 1e-8
 JITTER_PSI2 = 1e-8
 JITTER_KUU_SSM = 1e-12
