@@ -1,7 +1,9 @@
-"""Per-module process-isolated suite runner (VERDICT r3 item 10).
+"""Per-module process-isolated suite runner — THE canonical green gate
+(VERDICT r3 item 10; promoted from "iteration helper" in r5, VERDICT r4
+weak #8: same tests, ~5 min warm vs ~22 min for the single-process run).
 
-The plain single-process suite (`python -m pytest tests/ -x -q`) stays the
-canonical green gate, but it must keep the persistent compilation cache OFF
+The plain single-process suite (`python -m pytest tests/ -x -q`) remains
+for single-module debugging, but it must keep the compilation cache OFF
 (DEVIATIONS #25: with hundreds of executables accumulated in one process,
 XLA segfaults — on the cache (de)serialization paths first, and even with
 the cache off late in the run before `jax.clear_caches()` was added), so
