@@ -15,20 +15,22 @@ Julia). This experiment on the difficulty-matched draw (datasets.pendulum):
 0.005474 / 0.001020 (state-2 beats the reference), θ = [0.66, 2.27, 4.85],
 hyperopt 158 s on CPU.
 
-CPU is the right backend for this workload — now a MEASURED claim, not a
-crash anecdote (round 4, VERDICT r3 item 1 / weak #1): with the chip held
-exclusively, the full ``--tpu`` hyperopt+smoothing completes and is recorded
-in benchmarks/pendulum_tpu_r4.json — device hyperopt 1360 s, smoothing
-230 s, SMSE [0.00548, 0.00105] (matches the reference's [0.005455,
-0.001077]) — vs 158 s for the same program on the host CPU. The state is
-tiny (M=48, D=2, T=300), so the TPU runs dispatch/latency-bound at ~10% of
-CPU throughput. The round-3 "TPU worker crashed" datum was CONTENTION, not
-the workload: the axon TPU plugin ignores JAX_PLATFORMS=cpu, so concurrent
-"CPU" test processes were silently initializing the same chip and killed
-the worker mid-chunk (tests/conftest.py forces the platform via
-jax.config instead; DEVIATIONS #28). The epoch loop is chunked (``--tpu``
-chunks at 25 epochs) and the final smoothing runs as 6×25 warm-started
-sweeps so every device execution stays the size of a proven-safe chunk.
+Backend economics (all MEASURED): CPU f64 runs the hyperopt in ~158 s.
+The r4 f64 device record was 1360 s (emulated f64 on tiny ops — DEVIATIONS
+#28); the round-5 ``--f32 --tpu`` record collapses that to **211.5 s
+hyperopt + 44.8 s smoothing** with SMSE [0.00528, 0.00104] — 7.6× the
+reference's 1615 s ON THE CHIP and 6.4× the f64 device record
+(benchmarks/pendulum_f32_tpu_r5.json; the f32-first mode of DEVIATIONS
+#32 + the package-wide HIGHEST matmul precision, without which the same
+program runs the same speed and diverges on bf16-pass error). CPU remains
+the default backend by a now-narrow margin (158 vs 211 s). The round-3
+"TPU worker crashed" datum was CONTENTION, not the workload: the axon TPU
+plugin ignores JAX_PLATFORMS=cpu, so concurrent "CPU" test processes were
+silently initializing the same chip and killed the worker mid-chunk
+(tests/conftest.py forces the platform via jax.config instead; DEVIATIONS
+#28). The epoch loop is chunked (``--tpu`` chunks at 25 epochs) and the
+final smoothing runs as 6×25 warm-started sweeps so every device
+execution stays inside the measured-safe dispatch class (DEVIATIONS #33).
 """
 
 import os as _os
