@@ -64,7 +64,8 @@ from gaussianprocessnode_tpu.utils.profiling import block_via_host
 def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
         n_train: int = 10_000, dtype=None, seed: int = 1, faithful: bool = False,
         learning_rate: float = 0.001, stats_refreshes: int = 1,
-        warm_timing: bool = False, verbose: bool = True, xu=None):
+        warm_timing: bool = False, verbose: bool = True, xu=None,
+        ns_budget: int = 34):
     """``xu``: optional explicit inducing inputs (M, 8) — pass the
     reference's own saved draw (savefiles/Xu_kin40k.jld, the exact Xu behind
     its golden posterior qv_kin40k.jld) for trajectory-level parity runs;
@@ -115,6 +116,7 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                 lambda e, st: fit_kin40k(
                     kernel, theta0, Xu, Xb, yb, prior_v, w_val, e,
                     learning_rate=learning_rate, resume_state=st,
+                    ns_budget=ns_budget,
                 ),
                 50,
                 None,

@@ -32,7 +32,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 OUT = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                    "benchmarks", "kin40k_refxu_r5.json")
+                    "benchmarks", "kin40k_refxu_r5.json")  # --budget=N: _budgetN suffix
 SAVE = "/root/reference/savefiles"
 
 
@@ -42,13 +42,15 @@ def main():
     from gaussianprocessnode_tpu.utils.jld import load_jld
 
     epochs = 500 if "--tpu" in sys.argv else 3  # CPU = harness smoke only
+    budget = next((int(a.split("=", 1)[1]) for a in sys.argv
+                   if a.startswith("--budget=")), 34)
     xu = np.asarray(load_jld(_os.path.join(SAVE, "Xu_kin40k.jld")))
     theta_star = np.asarray(load_jld(_os.path.join(SAVE, "params_optimal_kin40k.jld")))
     smse_ref = float(load_jld(_os.path.join(SAVE, "SMSE_kin40k.jld")))
 
     t0 = time.time()
     res = run(epochs=epochs, faithful=True, xu=xu, verbose=True,
-              warm_timing="--tpu" in sys.argv)
+              warm_timing="--tpu" in sys.argv, ns_budget=budget)
     total = time.time() - t0
 
     artifact = {
@@ -61,7 +63,7 @@ def main():
             "compile/cache-load. Parity re-checked against "
             "params_optimal_kin40k.jld / SMSE_kin40k.jld "
             "(regression_kin40k.ipynb cells 9-10, 15)."),
-        "ns_budget": f"scaled {REFRESH_NS_ITERS_SCALED}",
+        "ns_budget": f"scaled {budget}",
         "epochs": epochs,
         "faithful_seconds_clean": round(res["seconds"], 2),
         "first_seconds": round(res["first_seconds"], 2),
@@ -79,6 +81,8 @@ def main():
         "device": str(jax.devices()[0]),
     }
     out = OUT if "--tpu" in sys.argv else "/tmp/refxu_smoke.json"
+    if budget != 34:
+        out = out.replace(".json", f"_budget{budget}.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {out}: clean={artifact['faithful_seconds_clean']}s "

@@ -201,7 +201,7 @@ class MinibatchCarry(NamedTuple):
     w_rate: jax.Array
 
 
-@partial(jax.jit, static_argnames=("kernel", "epochs"))
+@partial(jax.jit, static_argnames=("kernel", "epochs", "ns_budget"))
 def fit_kin40k(
     kernel,
     theta0,
@@ -213,12 +213,16 @@ def fit_kin40k(
     epochs: int,
     learning_rate: float = 0.001,
     resume_state: MinibatchCarry | None = None,
+    ns_budget: int = 34,
 ):
     """kin40k trainer (reference: regression_kin40k.ipynb cells 9-10):
     w is a PointMass (1e4); per epoch scan over minibatches. Returns
     (θ, q(v) natural params, carry) — pass the carry back as
     ``resume_state`` to continue (single device executions beyond ~2-3 min
-    hit this environment's tunnel RPC deadline, so long runs chunk)."""
+    hit this environment's tunnel RPC deadline, so long runs chunk).
+    ``ns_budget``: per-batch scaled-NS refresh iterations — the default 34
+    is the production budget; 60 exists for the budget-saving measurement
+    (benchmarks/kin40k_refxu_r5.json)."""
     # zero_nans + clipping guard the AdaMax max-accumulator: a single inf/nan
     # gradient (possible in the first cold-start batches) would otherwise
     # freeze u at inf and zero every later update
@@ -301,7 +305,7 @@ def fit_kin40k(
     # headroom over the cold bound. Verified: the reference-Xu trajectory
     # parity run reproduces params_optimal_kin40k to the same max|θ−θ*| as
     # the 60-iteration unscaled budget (benchmarks/kin40k_refxu_r4.json).
-    carry, _ = jax.lax.scan(make_epoch(34), carry0, None, length=epochs)
+    carry, _ = jax.lax.scan(make_epoch(ns_budget), carry0, None, length=epochs)
     return carry.theta, MvGaussianNat(carry.xi_v, carry.prec_v), carry
 
 
