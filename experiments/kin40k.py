@@ -118,7 +118,11 @@ def run(epochs: int = 1000, m_inducing: int = 600, batch_size: int = 500,
                     learning_rate=learning_rate, resume_state=st,
                     ns_budget=ns_budget,
                 ),
-                50,
+                # budget-scaled chunk: the matmul-dense faithful program
+                # sits in the ~54-63 s single-dispatch class (DEVIATIONS
+                # #33); 50-epoch chunks ran ~50 s at budget 34 and CRASHED
+                # the worker at budget 60 (~65+ s)
+                max(10, int(50 * 34 / ns_budget)),
                 None,
             )
             cov64 = None
