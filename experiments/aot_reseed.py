@@ -65,8 +65,14 @@ def main():
 
     os.makedirs(ART, exist_ok=True)
     total, n = 0, 0
+    # SMALLEST-first: the handful of giant (10-70 MB) jit__lambda entries
+    # are the bench's roofline/peak probe loops — measurement scaffolding
+    # that is cheap to recompile — while the executables that actually
+    # gate a fresh clone (jit_fit_kin40k_fast 5.5 MB, recover_and_predict
+    # 3.3 MB, the small glue jits) are small. A largest-first fill shipped
+    # 115 MB of probes and skipped the training path (first reseed run).
     entries = sorted(os.listdir(CACHE),
-                     key=lambda f: -os.path.getsize(os.path.join(CACHE, f)))
+                     key=lambda f: os.path.getsize(os.path.join(CACHE, f)))
     for name in entries:
         size = os.path.getsize(os.path.join(CACHE, name))
         if total + size > MAX_BYTES:
