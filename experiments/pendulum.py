@@ -85,7 +85,7 @@ from gaussianprocessnode_tpu.infer.training import lbfgs_solve
 from gaussianprocessnode_tpu.objectives import neg_log_backwardmess_multi
 from gaussianprocessnode_tpu.utils.profiling import block_via_host
 from gaussianprocessnode_tpu.ops.kernels import Kernel, invsoftplus, softplus
-from gaussianprocessnode_tpu.ops.linalg import chol_lower, chol_solve, cholinv, sum_blocks_weighted, sym
+from gaussianprocessnode_tpu.ops.linalg import cholinv, sum_blocks_weighted, sym
 from gaussianprocessnode_tpu.ops.quadrature import SphericalRadial
 from gaussianprocessnode_tpu.utils.datasets import pendulum, pendulum_inducing
 from gaussianprocessnode_tpu.utils.metrics import smse

@@ -38,7 +38,6 @@ SAVE = "/root/reference/savefiles"
 
 def main():
     from experiments.kin40k import run
-    from gaussianprocessnode_tpu.infer.minibatch import REFRESH_NS_ITERS_SCALED
     from gaussianprocessnode_tpu.utils.jld import load_jld
 
     epochs = 500 if "--tpu" in sys.argv else 3  # CPU = harness smoke only

@@ -37,7 +37,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import JITTER_KUU_SSM
 from ..dists import MvGaussianNat
 from ..nodes.multisgp import _split_blocks
 from ..ops import quadrature as quad
